@@ -1,0 +1,190 @@
+"""Fused instance-crop warp: the reference's 2-stage imgaug chain as ONE
+device-side scale-and-translate.
+
+The reference preprocesses each sample on CPU workers with two imgaug
+passes (reference train_instance.py:139-196, SURVEY.md §2.9):
+
+  1. ``iaa.Affine(translate_px=(tx, ty))`` with
+     ``tx = int(iw/2 - box_cx)``, ``ty = int(ih/2 - box_cy)`` — center
+     the annotated object box (black fill),
+  2. recompute the instance-mask bbox on the translated mask, then
+     ``iaa.CropAndPad`` to that bbox + 16 px per side (black pad) and
+     ``iaa.Resize`` to the output size.
+
+Because the translation is integral and fills black, and the crop pads
+black, the composition is exactly one affine warp with zero-fill:
+
+  src = (u + 0.5) * win/out - 0.5 + (win_origin - t)
+
+where ``win = clip(mask_box + t, canvas) ± pad`` (the bbox of the
+translated-then-clipped mask is exactly the clipped translated bbox).
+We execute it with ``jax.image.scale_and_translate`` (separable kernel
+=> two 1-D contractions, MXU-friendly) inside the jitted step — no host
+image work beyond decode + pad-to-canvas.
+
+Train-time augmentations the reference kept commented out (flip, scale
+jitter — BASELINE.json names them as build requirements) are enabled
+options folded into the same warp parameters.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+#: Black border (px) added around the source canvas before sampling.
+#: ``jax.image.scale_and_translate`` is NOT zero-fill at boundaries (it
+#: drops samples beyond +/-0.5 px and renormalizes within the band —
+#: measured, see tests/test_ops_warp_heatmap.py); padding the canvas
+#: with real black pixels makes every boundary blend read actual zeros,
+#: exactly like imgaug's constant fill.  24 covers the 16 px crop pad
+#: plus bilinear support; jittered windows are clamped to this margin.
+SRC_PAD = 24
+
+
+class WarpParams(NamedTuple):
+    """Per-sample output->source mapping ``src = (u+0.5)*scale - 0.5 + offset``.
+
+    scale, offset: [..., 2] arrays ordered (y, x).
+    """
+
+    scale: jax.Array
+    offset: jax.Array
+
+
+def instance_warp_params(
+    obj_box: jax.Array,
+    mask_box: jax.Array,
+    image_hw: jax.Array,
+    out_hw: tuple[int, int],
+    pad: int = 16,
+    mask_valid: jax.Array | bool = True,
+    jitter: jax.Array | None = None,
+) -> WarpParams:
+    """Compute the fused warp for one sample (all inputs float arrays).
+
+    obj_box:   [4] xyxy annotation box (drives the centering translation,
+               reference train_instance.py:141-156).
+    mask_box:  [4] xyxy tight instance-mask box in ORIGINAL coords
+               (x1/y1 exclusive).
+    image_hw:  [2] (h, w) of the original image.
+    mask_valid: False => fall back to the whole image as the crop box
+               (reference :163-164).
+    jitter:    optional [4] multiplicative window jitter (dy0, dx0, dy1,
+               dx1) as fractions of window size — the reference's
+               commented-out ±0.2·box jitter (ref :172-173,186-187),
+               enabled as an option.
+
+    Returns WarpParams mapping output pixels to original-image pixels.
+    """
+    h, w = image_hw[0], image_hw[1]
+    x0, y0, x1, y1 = obj_box[0], obj_box[1], obj_box[2], obj_box[3]
+    # int() in the reference truncates toward zero
+    tx = jnp.trunc(w / 2.0 - (x0 + x1) / 2.0)
+    ty = jnp.trunc(h / 2.0 - (y0 + y1) / 2.0)
+
+    # translated & canvas-clipped instance box (== bbox of translated mask)
+    mb = jnp.where(
+        jnp.asarray(mask_valid),
+        mask_box,
+        jnp.stack([0.0 - tx, 0.0 - ty, w - tx, h - ty]),
+    )
+    bx0 = jnp.clip(mb[0] + tx, 0.0, w)
+    by0 = jnp.clip(mb[1] + ty, 0.0, h)
+    bx1 = jnp.clip(mb[2] + tx, 0.0, w)
+    by1 = jnp.clip(mb[3] + ty, 0.0, h)
+
+    # crop window = box +/- pad (reference :166-171)
+    wx0, wy0 = bx0 - pad, by0 - pad
+    wx1, wy1 = bx1 + pad, by1 + pad
+
+    if jitter is not None:
+        win_w = wx1 - wx0
+        win_h = wy1 - wy0
+        margin = SRC_PAD - 4
+        wy0 = jnp.clip(wy0 + jitter[0] * win_h, -margin, h + margin)
+        wx0 = jnp.clip(wx0 + jitter[1] * win_w, -margin, w + margin)
+        wy1 = jnp.clip(wy1 + jitter[2] * win_h, wy0 + 1.0, h + margin)
+        wx1 = jnp.clip(wx1 + jitter[3] * win_w, wx0 + 1.0, w + margin)
+
+    out_h, out_w = out_hw
+    scale = jnp.stack([(wy1 - wy0) / out_h, (wx1 - wx0) / out_w])
+    offset = jnp.stack([wy0 - ty, wx0 - tx])
+    return WarpParams(scale=scale, offset=offset)
+
+
+def warp_image(
+    image: jax.Array,
+    params: WarpParams,
+    out_hw: tuple[int, int],
+    method: str = "linear",
+) -> jax.Array:
+    """Sample one [H, W, C] image through WarpParams to [out_h, out_w, C].
+
+    Out-of-bounds pixels read 0 (black fill, matching imgaug's constant
+    pad).  ``antialias=False`` matches plain bilinear (cv2/imgaug do not
+    prefilter when downscaling).
+    """
+    out_h, out_w = out_hw
+    # surround the canvas with real black so boundary blends match
+    # imgaug's constant fill (see SRC_PAD note above); XLA fuses the pad
+    # into the sampling contraction
+    image = jnp.pad(image, ((SRC_PAD, SRC_PAD), (SRC_PAD, SRC_PAD), (0, 0)))
+    # jax.image.scale_and_translate convention (verified empirically):
+    #   src = (u + 0.5 - translation)/st_scale - 0.5
+    # matching our map src = (u+0.5)*scale - 0.5 + (offset + SRC_PAD):
+    st_scale = 1.0 / params.scale
+    st_translation = -(params.offset + SRC_PAD) * st_scale
+    return jax.image.scale_and_translate(
+        image,
+        (out_h, out_w, image.shape[-1]),
+        (0, 1),
+        st_scale,
+        st_translation,
+        method,
+        antialias=False,
+    )
+
+
+def warp_points(points_xy: jax.Array, params: WarpParams) -> jax.Array:
+    """Map [K, 2] (x, y) source points into output coordinates.
+
+    Uses the imgaug keypoint convention (plain ratio scaling without the
+    half-pixel shift): ``x' = (x - offset_x) / scale_x``.
+    """
+    sx = params.scale[1]
+    sy = params.scale[0]
+    x = (points_xy[..., 0] - params.offset[1]) / sx
+    y = (points_xy[..., 1] - params.offset[0]) / sy
+    return jnp.stack([x, y], axis=-1)
+
+
+def flip_params_x(params: WarpParams, out_w: int) -> WarpParams:
+    """Mirror the warp horizontally (sample right-to-left).
+
+    Equivalent to flipping the warped image; used for the enabled
+    horizontal-flip augmentation (``iaa.Fliplr`` in the reference's
+    commented-out chain, tool/show_aug.py:92).
+    """
+    # flipped sample u reads src of (out_w-1-u):
+    # src = (out_w-1-u+0.5)*s - 0.5 + off = (u+0.5)*(-s) - 0.5 + (off + out_w*s)
+    scale = jnp.stack([params.scale[0], -params.scale[1]])
+    offset = jnp.stack([params.offset[0], params.offset[1] + out_w * params.scale[1]])
+    return WarpParams(scale=scale, offset=offset)
+
+
+def warp_batch(
+    images: jax.Array,
+    params: WarpParams,
+    out_hw: tuple[int, int],
+    method: str = "linear",
+) -> jax.Array:
+    """vmap of ``warp_image`` over a leading batch axis.
+
+    images [B, H, W, C]; params.scale/offset [B, 2] -> [B, out_h, out_w, C].
+    """
+    return jax.vmap(lambda im, s, o: warp_image(im, WarpParams(s, o), out_hw, method))(
+        images, params.scale, params.offset
+    )
