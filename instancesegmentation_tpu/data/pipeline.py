@@ -1,0 +1,233 @@
+"""Batching, host->device prefetch, and the device-side preprocessing
+program.
+
+``preprocess_batch`` is the compiled replacement for the reference's
+per-worker imgaug chain + ToTensor/Normalize + heatmap loop (reference
+train_instance.py:129-213): one jitted function from canvas-uint8
+batches to normalized model inputs, soft mask targets and keypoint
+heatmaps.  It is called *inside* the train/eval step so XLA fuses the
+whole input program with the model ("show_aug.py augmentations compiled
+into the graph", BASELINE.json north star).
+
+Host side, ``batch_iterator`` decodes PNGs with a thread pool (cv2
+releases the GIL) and a background prefetch thread keeps one batch
+ahead, giving double-buffered host->HBM transfer against the async XLA
+dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancesegmentation_tpu.core.keys import ORDER_PART_NAMES
+from instancesegmentation_tpu.data.dataset import InstanceCommonDataset, Sample
+from instancesegmentation_tpu.ops.heatmap import render_heatmaps
+from instancesegmentation_tpu.ops.warp import (
+    WarpParams,
+    flip_params_x,
+    instance_warp_params,
+    warp_image,
+    warp_points,
+)
+
+#: channel permutation under horizontal flip: left<->right parts swap
+#: (canonical ORDER_PART_NAMES order, core/keys.py)
+_FLIP_PERM = tuple(
+    ORDER_PART_NAMES.index(
+        part.replace("left_", "@").replace("right_", "left_").replace("@", "right_")
+    )
+    for part in ORDER_PART_NAMES
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side augmentation knobs.
+
+    Reference-parity defaults: everything off (the reference's flip /
+    scale-jitter / photometric augs are commented out, SURVEY.md §2.9).
+    BASELINE.json asks for them as enabled *options* for training runs.
+    """
+
+    out_size: tuple[int, int] = (480, 480)
+    pad: int = 16
+    flip_prob: float = 0.0
+    jitter: float = 0.0            # window jitter fraction (+-)
+    brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
+    contrast: float = 0.0          # linear contrast range +-
+    noise_std: float = 0.0         # additive gaussian noise std (0..255)
+
+
+def host_batch(samples: list[Sample]) -> dict:
+    """Stack host samples into one numpy batch dict."""
+    return {
+        "image": np.stack([s.image for s in samples]),
+        "mask": np.stack([s.mask for s in samples]),
+        "image_hw": np.stack([s.image_hw for s in samples]),
+        "obj_box": np.stack([s.obj_box for s in samples]),
+        "mask_box": np.stack([s.mask_box for s in samples]),
+        "mask_valid": np.asarray([s.mask_valid for s in samples], dtype=bool),
+        "keypoints": np.stack([s.keypoints for s in samples]),
+    }
+
+
+def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
+    """Device-side: canvas batch -> (images, heatmaps, masks).
+
+    images   [B, oh, ow, 3]  float32 in [-1, 1]
+    heatmaps [B, oh, ow, 17] float32 in [0, 1]
+    masks    [B, oh, ow, 1]  float32 in [0, 1] (soft, bilinear-resampled
+             like the reference's interpolated mask targets)
+    """
+    out_hw = cfg.out_size
+    out_h, out_w = out_hw
+    b = batch["image"].shape[0]
+    r_jit, r_flip, r_bri, r_con, r_noise = jax.random.split(rng, 5)
+
+    box_args = (
+        batch["obj_box"].astype(jnp.float32),
+        batch["mask_box"].astype(jnp.float32),
+        batch["image_hw"].astype(jnp.float32),
+        batch["mask_valid"],
+    )
+    if cfg.jitter > 0:
+        jitter = jax.random.uniform(
+            r_jit, (b, 4), minval=-cfg.jitter, maxval=cfg.jitter
+        )
+        params = jax.vmap(
+            lambda ob, mb, hw, mv, j: instance_warp_params(
+                ob, mb, hw, out_hw, cfg.pad, mv, j
+            )
+        )(*box_args, jitter)
+    else:
+        params = jax.vmap(
+            lambda ob, mb, hw, mv: instance_warp_params(ob, mb, hw, out_hw, cfg.pad, mv)
+        )(*box_args)
+
+    flip = (
+        jax.random.bernoulli(r_flip, cfg.flip_prob, (b,))
+        if cfg.flip_prob > 0
+        else jnp.zeros((b,), bool)
+    )
+    flipped = jax.vmap(lambda s, o: flip_params_x(WarpParams(s, o), out_w))(
+        params.scale, params.offset
+    )
+    params = WarpParams(
+        scale=jnp.where(flip[:, None], flipped.scale, params.scale),
+        offset=jnp.where(flip[:, None], flipped.offset, params.offset),
+    )
+
+    def warp_one(img, mask, s, o):
+        p = WarpParams(s, o)
+        im = warp_image(img.astype(jnp.float32), p, out_hw)
+        mk = warp_image(mask[..., None].astype(jnp.float32), p, out_hw)
+        return im, mk
+
+    images, masks = jax.vmap(warp_one)(
+        batch["image"], batch["mask"], params.scale, params.offset
+    )
+
+    # photometric augs on the [0, 255] scale (imgaug semantics:
+    # Multiply / LinearContrast / AdditiveGaussianNoise, ref :188-191)
+    if cfg.brightness > 0:
+        m = jax.random.uniform(
+            r_bri, (b, 1, 1, 1), minval=1 - cfg.brightness, maxval=1 + cfg.brightness
+        )
+        images = images * m
+    if cfg.contrast > 0:
+        c = jax.random.uniform(
+            r_con, (b, 1, 1, 1), minval=1 - cfg.contrast, maxval=1 + cfg.contrast
+        )
+        images = (images - 127.5) * c + 127.5
+    if cfg.noise_std > 0:
+        images = images + cfg.noise_std * jax.random.normal(r_noise, images.shape)
+
+    images = jnp.clip(images, 0.0, 255.0) / 127.5 - 1.0  # ToTensor+Normalize(.5,.5)
+    masks = masks / 255.0
+
+    # keypoints -> output coords -> heatmaps (channel-swap + x-mirror
+    # under flip)
+    kps = batch["keypoints"].astype(jnp.float32)
+    pts = jax.vmap(lambda p_xy, s, o: warp_points(p_xy, WarpParams(s, o)))(
+        kps[..., :2], params.scale, params.offset
+    )
+    vis = kps[..., 2] > 0.5
+
+    perm = jnp.asarray(_FLIP_PERM)
+    pts_f = pts[:, perm, :]
+    vis_f = vis[:, perm]
+    pts = jnp.where(flip[:, None, None], pts_f, pts)
+    vis = jnp.where(flip[:, None], vis_f, vis)
+
+    heatmaps = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
+
+    return images, heatmaps, masks
+
+
+def batch_iterator(
+    dataset: InstanceCommonDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = 1,
+    drop_last: bool = True,
+    num_threads: int = 8,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Yield host batch dicts with threaded decode and background prefetch.
+
+    ``epochs=None`` streams forever.  Incomplete tail batches are
+    dropped when ``drop_last`` (static shapes for XLA) else padded by
+    repeating the first sample.
+    """
+    rng = np.random.default_rng(seed)
+    pool = ThreadPoolExecutor(max_workers=num_threads)
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def order_stream():
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(len(dataset))
+            if shuffle:
+                rng.shuffle(order)
+            yield from (
+                order[i : i + batch_size]
+                for i in range(0, len(order), batch_size)
+            )
+            epoch += 1
+
+    def producer():
+        try:
+            for idxs in order_stream():
+                if stop.is_set():
+                    break
+                if len(idxs) < batch_size:
+                    if drop_last:
+                        continue
+                    idxs = np.concatenate(
+                        [idxs, np.repeat(idxs[:1], batch_size - len(idxs))]
+                    )
+                samples = list(pool.map(dataset.fetch, idxs))
+                q.put(host_batch(samples))
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        pool.shutdown(wait=False)

@@ -1,0 +1,119 @@
+"""Synthetic common-format dataset generator.
+
+Produces tiny but fully schema-conformant datasets (same directory
+layout the converters emit, SURVEY.md §2.7) for unit tests, the
+end-to-end overfit test, demos and benchmarks — the reference has no
+test fixtures at all (SURVEY.md §4), so this fills that gap.
+
+Each image contains one or more elliptical "persons" with plausible
+keypoint layouts; masks are exact ellipse rasterizations.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from instancesegmentation_tpu.core.keys import ORDER_PART_NAMES, key_combine
+from instancesegmentation_tpu.core.masks import union_masks
+
+#: canonical part offsets within a unit body box (x, y in [0,1])
+_PART_OFFSETS = {
+    "nose": (0.5, 0.12), "right_eye": (0.44, 0.09), "left_eye": (0.56, 0.09),
+    "right_ear": (0.40, 0.12), "left_ear": (0.60, 0.12),
+    "right_shoulder": (0.35, 0.25), "left_shoulder": (0.65, 0.25),
+    "right_elbow": (0.28, 0.40), "left_elbow": (0.72, 0.40),
+    "right_wrist": (0.25, 0.55), "left_wrist": (0.75, 0.55),
+    "right_hip": (0.40, 0.55), "left_hip": (0.60, 0.55),
+    "right_knee": (0.40, 0.75), "left_knee": (0.60, 0.75),
+    "right_ankle": (0.40, 0.93), "left_ankle": (0.60, 0.93),
+}
+
+
+def make_synthetic_dataset(
+    out_dir: str,
+    num_images: int = 8,
+    image_hw: tuple[int, int] = (240, 320),
+    objects_per_image: int = 1,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic common-format dataset and return ``out_dir``."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    h, w = image_hw
+    for d in ("image", "instance_mask", "segment_mask", "class_mask", "mix", "data"):
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+
+    for i in range(num_images):
+        name = f"{i:05d}"
+        img = rng.integers(0, 80, size=(h, w, 3), dtype=np.uint8)
+        objs = []
+        masks = []
+        os.makedirs(os.path.join(out_dir, "instance_mask", name), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "class_mask", name), exist_ok=True)
+
+        for j in range(objects_per_image):
+            bw = int(rng.uniform(70, min(140, w - 20)))
+            bh = int(rng.uniform(80, min(180, h - 20)))
+            x0 = int(rng.uniform(0, w - bw))
+            y0 = int(rng.uniform(0, h - bh))
+            box = [x0, y0, x0 + bw, y0 + bh]
+
+            mask = np.zeros((h, w), dtype=np.uint8)
+            center = (x0 + bw // 2, y0 + bh // 2)
+            axes = (bw // 2 - 2, bh // 2 - 2)
+            cv2.ellipse(mask, center, axes, 0, 0, 360, 255, -1)
+            color = tuple(int(c) for c in rng.integers(120, 255, size=3))
+            img[mask > 0] = color
+            masks.append(mask)
+
+            body = {}
+            for part in ORDER_PART_NAMES:
+                ox, oy = _PART_OFFSETS[part]
+                body[key_combine(part, "sub_dict")] = {
+                    key_combine("status", "keypoint_status"): "vis",
+                    key_combine("point", "point_xy"): [
+                        int(x0 + ox * bw),
+                        int(y0 + oy * bh),
+                    ],
+                }
+
+            mask_rel = os.path.join("instance_mask", name, f"{j}.png")
+            cv2.imwrite(os.path.join(out_dir, mask_rel), mask)
+            objs.append(
+                {
+                    key_combine("box", "box_xyxy"): box,
+                    key_combine("class", "class"): "person",
+                    key_combine("instance_mask", "mask_path"): mask_rel,
+                    key_combine("body_keypoint", "sub_dict"): body,
+                }
+            )
+
+        image_rel = os.path.join("image", name + ".png")
+        cv2.imwrite(
+            os.path.join(out_dir, image_rel), cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        )
+        seg = union_masks(masks)
+        seg_rel = os.path.join("segment_mask", name + ".png")
+        cv2.imwrite(os.path.join(out_dir, seg_rel), seg)
+        class_rel = os.path.join("class_mask", name, "person.png")
+        cv2.imwrite(os.path.join(out_dir, class_rel), seg)
+
+        ann = {
+            key_combine("image", "image_path"): image_rel,
+            key_combine("segment_mask", "mask_path"): seg_rel,
+            key_combine("class", "class"): "person",
+            key_combine("meta", "other"): {"width": w, "height": h},
+            key_combine("class_mask", "sub_list"): [
+                {
+                    key_combine("class", "class"): "person",
+                    key_combine("segment_mask", "mask_path"): class_rel,
+                }
+            ],
+            key_combine("object", "sub_list"): objs,
+        }
+        with open(os.path.join(out_dir, "data", name + ".json"), "w") as f:
+            json.dump(ann, f)
+    return out_dir
