@@ -1,0 +1,92 @@
+"""Training configuration: one dataclass + CLI overrides.
+
+Replaces the reference's hostname-keyed hardcoded dicts (reference
+train_instance.py:229-269, SURVEY.md §5 'config/flag system') with an
+explicit, serializable config.  Defaults mirror the reference's training
+defaults (epoch=30, batch_size=8, show_iter=20, val_iter=120, Adam with
+torch's default lr=1e-3, ref :243-247,:297).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    train_dataset_dir: str = ""
+    val_dataset_dir: str = ""
+    checkpoint_dir: str = "checkpoints"
+    out_dir: str = "runs"
+    canvas: int = 640
+    out_size: int = 480
+
+    # model
+    in_channels: int = 20          # 20 = RGB + 17 heatmaps; 3 = image-only
+    bfloat16: bool = True          # bf16 compute on TPU (params stay f32)
+
+    # optimization
+    epochs: int = 30
+    batch_size: int = 8
+    learning_rate: float = 1e-3    # torch Adam default (ref :297)
+
+    # cadence
+    show_iter: int = 20
+    val_iter: int = 120
+    max_val_batches: int = 0       # 0 = full val set (repairs ref bug §2.3.2)
+
+    # checkpoint contract (reference §2.4)
+    continue_train: bool = True
+    syn_train: bool = False
+    pretrained_path: Optional[str] = None
+    checkpoint_save_path: Optional[str] = None
+    save_iou_gate: float = 0.7     # save-best quality gate (ref :492)
+    regression_threshold: float = 0.3  # reload-best threshold (ref :472)
+    stale_epochs: int = 10         # syn_train staleness adoption (ref :482)
+
+    # augmentation (reference-parity defaults: off; see SURVEY.md §2.9)
+    flip_prob: float = 0.0
+    jitter: float = 0.0
+    brightness: float = 0.0
+    contrast: float = 0.0
+    noise_std: float = 0.0
+
+    # parallelism
+    data_parallel: bool = False    # shard_map over all visible devices
+
+    # misc
+    seed: int = 0
+    num_threads: int = 8
+    log_images: bool = True
+
+    @property
+    def use_heatmaps(self) -> bool:
+        return self.in_channels > 3
+
+    @property
+    def out_hw(self) -> tuple[int, int]:
+        return (self.out_size, self.out_size)
+
+
+def parse_args(argv=None) -> TrainConfig:
+    """Build a TrainConfig from CLI flags (every field overridable)."""
+    parser = argparse.ArgumentParser(description="train instance segmentation")
+    for field in dataclasses.fields(TrainConfig):
+        name = "--" + field.name.replace("_", "-")
+        if field.type == "bool" or isinstance(field.default, bool):
+            parser.add_argument(
+                name,
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=field.default,
+            )
+        else:
+            ftype = (
+                str
+                if field.default is None
+                else type(field.default)
+            )
+            parser.add_argument(name, type=ftype, default=field.default)
+    ns = parser.parse_args(argv)
+    return TrainConfig(**vars(ns))

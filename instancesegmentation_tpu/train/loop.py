@@ -1,0 +1,252 @@
+"""The trainer: epoch loop, periodic validation, checkpoint contract.
+
+Faithful (repaired) port of the reference's training control flow
+(reference train_instance.py:272-517):
+
+- Adam + BCE, batch 8, 30 epochs (ref :294-299, defaults in config).
+- Periodic validation computing mean mask IoU; unlike the reference,
+  which silently evaluated only the FIRST val batch (bug SURVEY.md
+  §2.3.2), the whole val set is used (``max_val_batches`` caps it).
+- Regression guard: if best-IoU minus val-IoU exceeds 0.3, reload the
+  branch-best checkpoint and rewind the epoch counter (ref :471-477).
+- syn_train: poll the shared checkpoint file; adopt a better (or >10
+  epochs staler) peer checkpoint (ref :479-489).
+- Save-best gated at val IoU > 0.7 (ref :491-509), atomic writes.
+
+The heatmap-conditioning bug chain of the reference (§2.3.1) is fixed:
+with ``in_channels=20`` the rendered heatmaps actually reach the model.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+from instancesegmentation_tpu.data.pipeline import batch_iterator
+from instancesegmentation_tpu.models.segment import Segment
+from instancesegmentation_tpu.train.checkpoint import BranchBestCheckpoint
+from instancesegmentation_tpu.train.config import TrainConfig
+from instancesegmentation_tpu.train.metrics import MetricLogger, dump_image_grid
+from instancesegmentation_tpu.train.state import TrainState
+from instancesegmentation_tpu.train.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        bn_axis = "data" if cfg.data_parallel else None
+        self.model = Segment(
+            in_channels=cfg.in_channels,
+            dtype=jnp.bfloat16 if cfg.bfloat16 else jnp.float32,
+            bn_axis_name=bn_axis,
+        )
+        self.tx = optax.adam(cfg.learning_rate)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        size = cfg.out_size
+        init_args = [jnp.zeros((1, size, size, 3))]
+        if cfg.use_heatmaps:
+            init_args.append(jnp.zeros((1, size, size, cfg.in_channels - 3)))
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            rng, *init_args, train=False
+        )
+        self.state = TrainState.create(variables, self.tx)
+
+        if cfg.data_parallel:
+            from instancesegmentation_tpu.parallel.data_parallel import (
+                make_parallel_steps,
+            )
+
+            self.mesh, self.train_step, self.eval_step, self.shard_batch = (
+                make_parallel_steps(self.model, self.tx, cfg)
+            )
+            self.state = jax.device_put(
+                self.state, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                )
+            )
+        else:
+            self.mesh = None
+            self.train_step = make_train_step(self.model, self.tx, cfg)
+            self.eval_step = make_eval_step(self.model, cfg)
+            self.shard_batch = lambda b: b
+
+        self.ckpt = BranchBestCheckpoint(
+            cfg.checkpoint_dir, explicit_path=cfg.checkpoint_save_path
+        )
+        self.logger = MetricLogger(cfg.out_dir)
+        self.start_epoch = 0
+        self.iou_max = 0.0
+
+        if self.ckpt.exists():
+            self.iou_max = self.ckpt.best() or 0.0
+        if cfg.continue_train and self.ckpt.exists():
+            print(f"loading checkpoint from {self.ckpt.path}")
+            self._load_best()
+        elif cfg.pretrained_path and os.path.exists(cfg.pretrained_path):
+            print(f"pretrained loading checkpoint from {cfg.pretrained_path}")
+            from instancesegmentation_tpu.train.checkpoint import load_checkpoint
+
+            state, _ = load_checkpoint(cfg.pretrained_path, self.state)
+            self.state = state
+            self.start_epoch = 0
+
+    # ------------------------------------------------------------------
+    def _load_best(self) -> bool:
+        """Resume model+optimizer+epoch from the branch-best checkpoint
+        (reference load_checkpoint, ref :320-328).  Returns success."""
+        try:
+            state, meta = self.ckpt.load(self.state)
+            self.state = state
+            self.start_epoch = int(meta.get("epoch", 0))
+            return True
+        except Exception as e:  # the reference swallows too (ref :327)
+            print(f"load fail: {e}")
+            return False
+
+    def _validate(self, valset: InstanceCommonDataset, epoch: int, seed: int) -> float:
+        cfg = self.cfg
+        ious = []
+        cap = cfg.max_val_batches or None
+        first = None
+        for k, batch in enumerate(
+            batch_iterator(
+                valset, cfg.batch_size, shuffle=True, seed=seed, epochs=1,
+                num_threads=cfg.num_threads,
+            )
+        ):
+            probs, masks, iou = self.eval_step(
+                self.state.variables, self.shard_batch(batch)
+            )
+            ious.append(float(iou))
+            if first is None and cfg.log_images:
+                first = (batch, probs, masks)
+            if cap and k + 1 >= cap:
+                break
+        if first is not None:
+            batch, probs, masks = first
+            from instancesegmentation_tpu.data.pipeline import preprocess_batch
+            from instancesegmentation_tpu.train.steps import augment_config
+
+            images, _, _ = preprocess_batch(
+                batch, jax.random.PRNGKey(0), augment_config(cfg, train=False)
+            )
+            dump_image_grid(
+                os.path.join(cfg.out_dir, "viz"),
+                f"val_e{epoch:03d}",
+                np.asarray(images), np.asarray(masks), np.asarray(probs),
+            )
+        return float(np.mean(ious)) if ious else 0.0
+
+    # ------------------------------------------------------------------
+    def train(self) -> float:
+        cfg = self.cfg
+        print(f"branch name: {self.ckpt.branch_name}")
+        print(f"devices: {jax.devices()}")
+
+        trainset = InstanceCommonDataset(cfg.train_dataset_dir, cfg.canvas)
+        valset = InstanceCommonDataset(cfg.val_dataset_dir, cfg.canvas)
+        print(f"train samples: {len(trainset)}  val samples: {len(valset)}")
+
+        epoch = self.start_epoch
+        rng = jax.random.PRNGKey(cfg.seed)
+        last_val = 0.0
+
+        while epoch < cfg.epochs:
+            restarted = False
+            losses = []
+            t_start = time.time()
+            n_seen = 0
+            for i0, batch in enumerate(
+                batch_iterator(
+                    trainset, cfg.batch_size, shuffle=True,
+                    seed=cfg.seed + epoch, epochs=1,
+                    num_threads=cfg.num_threads,
+                )
+            ):
+                step_rng = jax.random.fold_in(rng, int(self.state.step))
+                self.state, metrics = self.train_step(
+                    self.state, self.shard_batch(batch), step_rng
+                )
+                losses.append(metrics["loss"])
+                n_seen += cfg.batch_size
+
+                if i0 % cfg.show_iter == cfg.show_iter - 1:
+                    loss = float(jnp.mean(jnp.stack(losses)))
+                    ips = n_seen / (time.time() - t_start)
+                    print(
+                        f" [epoch {epoch}] [{i0 * cfg.batch_size}/{len(trainset)}]"
+                        f" [loss: {loss:.6f}] [{ips:.1f} img/s]"
+                    )
+                    self.logger.log(
+                        int(self.state.step), loss=loss, images_per_sec=ips,
+                        train_iou=float(metrics["train_iou"]), epoch=epoch,
+                    )
+                    losses = []
+
+                if i0 % cfg.val_iter == 0:
+                    val_iou = self._validate(valset, epoch, seed=cfg.seed + i0)
+                    last_val = val_iou
+                    print(
+                        f"{self.ckpt.branch_name} [epoch {epoch}]"
+                        f" [val_num:{len(valset)}]"
+                        f" [train_batch_iou: {float(metrics['train_iou']):.6f}]"
+                        f" [val_iou: {val_iou:.6f}]"
+                    )
+                    self.logger.log(
+                        int(self.state.step), val_iou=val_iou, epoch=epoch
+                    )
+
+                    # regression guard (ref :471-477)
+                    if self.iou_max - val_iou > cfg.regression_threshold:
+                        if self.ckpt.exists():
+                            print(
+                                "val_iou too low, reload checkpoint from "
+                                + self.ckpt.path
+                            )
+                            if self._load_best():
+                                epoch = self.start_epoch - 1
+                                restarted = True
+                                break
+
+                    # syn_train adoption (ref :479-489)
+                    if self.ckpt.exists():
+                        peer_best = self.ckpt.best() or 0.0
+                        stale = epoch - self.start_epoch > cfg.stale_epochs
+                        if self.iou_max < peer_best or stale:
+                            print(f"update model from {self.ckpt.path}")
+                            self.iou_max = max(self.iou_max, peer_best)
+                            if cfg.syn_train:
+                                print("syn_train...")
+                                if self._load_best():
+                                    epoch = self.start_epoch - 1
+                                    restarted = True
+                                    break
+
+                    # save-best (ref :491-509)
+                    if val_iou > self.iou_max and val_iou > cfg.save_iou_gate:
+                        self.iou_max = val_iou
+                        print("save branch best checkpoint " + self.ckpt.path)
+                        self.ckpt.save(self.state, best=val_iou, epoch=epoch + 1)
+
+            epoch += 1
+            if restarted:
+                continue
+        self.logger.close()
+        return last_val
+
+
+def main(argv=None):
+    from instancesegmentation_tpu.train.config import parse_args
+
+    cfg = parse_args(argv)
+    Trainer(cfg).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Data-parallel tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+from instancesegmentation_tpu.data.pipeline import host_batch
+from instancesegmentation_tpu.data.synthetic import make_synthetic_dataset
+from instancesegmentation_tpu.models.segment import Segment
+from instancesegmentation_tpu.parallel.data_parallel import make_parallel_steps
+from instancesegmentation_tpu.parallel.mesh import make_mesh
+from instancesegmentation_tpu.train.config import TrainConfig
+from instancesegmentation_tpu.train.state import TrainState
+from instancesegmentation_tpu.train.steps import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def batch8(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_par")
+    make_synthetic_dataset(str(root), num_images=8, objects_per_image=1, seed=11)
+    ds = InstanceCommonDataset(str(root), canvas=192)
+    return host_batch([ds.fetch(i) for i in range(8)])
+
+
+def _cfg(**kw):
+    d = dict(
+        canvas=192, out_size=64, in_channels=20, bfloat16=False,
+        batch_size=8, learning_rate=1e-3, data_parallel=True,
+    )
+    d.update(kw)
+    return TrainConfig(**d)
+
+
+def test_mesh_creation():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+    mesh4 = make_mesh(4)
+    assert mesh4.devices.size == 4
+
+
+def test_parallel_matches_single_device(batch8):
+    """With augs off, sync-BN over 8 shards must equal single-device
+    full-batch training (grads pmean == global mean).  SGD keeps the
+    comparison linear in gradients (Adam's normalization would amplify
+    float reassociation noise of near-zero grads into sign flips)."""
+    cfg = _cfg()
+    tx = optax.sgd(0.1)
+
+    # single device (no bn axis)
+    model_s = Segment(in_channels=20, dtype=jnp.float32)
+    variables = model_s.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 17)),
+    )
+    state_s = TrainState.create(variables, tx)
+    step_s = make_train_step(model_s, tx, cfg)
+
+    # 8-way DP (sync BN)
+    model_p = Segment(in_channels=20, dtype=jnp.float32, bn_axis_name="data")
+    state_p = TrainState.create(jax.tree_util.tree_map(jnp.copy, variables), tx)
+    mesh, step_p, eval_p, shard_batch = make_parallel_steps(model_p, tx, cfg)
+
+    rng = jax.random.PRNGKey(3)
+    # one step: pmean-of-shard-grads must equal the full-batch gradient
+    # up to float reassociation (further steps diverge chaotically
+    # through BN, so a multi-step comparison is not meaningful)
+    state_s, m_s = step_s(state_s, batch8, jax.random.fold_in(rng, 0))
+    state_p, m_p = step_p(state_p, shard_batch(batch8), jax.random.fold_in(rng, 0))
+
+    assert float(m_s["loss"]) == pytest.approx(float(m_p["loss"]), abs=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.params),
+        jax.tree_util.tree_leaves(state_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # batch_stats synced across replicas == single-device full-batch stats
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_s.batch_stats),
+        jax.tree_util.tree_leaves(state_p.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_parallel_eval_step(batch8):
+    cfg = _cfg()
+    tx = optax.adam(cfg.learning_rate)
+    model = Segment(in_channels=20, dtype=jnp.float32, bn_axis_name="data")
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 17)),
+    )
+    mesh, _, eval_step, shard_batch = make_parallel_steps(model, tx, cfg)
+    probs, masks, iou = eval_step(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        shard_batch(batch8),
+    )
+    assert probs.shape == (8, 64, 64, 1)
+    assert np.isfinite(float(iou))
+
+
+def test_global_batch_divisibility_check():
+    cfg = _cfg(batch_size=6)
+    model = Segment(in_channels=20, dtype=jnp.float32, bn_axis_name="data")
+    with pytest.raises(ValueError, match="not divisible"):
+        make_parallel_steps(model, optax.adam(1e-3), cfg)

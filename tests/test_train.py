@@ -1,0 +1,118 @@
+"""End-to-end training tests on the synthetic dataset (CPU, small res)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+from instancesegmentation_tpu.data.pipeline import batch_iterator, host_batch
+from instancesegmentation_tpu.models.segment import Segment
+from instancesegmentation_tpu.train.checkpoint import (
+    BranchBestCheckpoint,
+    load_checkpoint,
+    read_meta,
+    save_checkpoint,
+)
+from instancesegmentation_tpu.train.config import TrainConfig
+from instancesegmentation_tpu.train.loop import Trainer
+from instancesegmentation_tpu.train.state import TrainState
+from instancesegmentation_tpu.train.steps import make_eval_step, make_train_step
+from instancesegmentation_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_train")
+    make_synthetic_dataset(str(root), num_images=4, objects_per_image=1, seed=7)
+    return str(root)
+
+
+def _small_cfg(synth_dir, tmpdir, **kw):
+    defaults = dict(
+        train_dataset_dir=synth_dir,
+        val_dataset_dir=synth_dir,
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        out_dir=os.path.join(tmpdir, "runs"),
+        canvas=192,
+        out_size=64,
+        in_channels=20,
+        bfloat16=False,
+        batch_size=4,
+        learning_rate=3e-3,
+        save_iou_gate=0.0,
+        log_images=False,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_overfit_single_batch(synth_dir, tmp_path):
+    """The minimum end-to-end slice (SURVEY.md §7): jitted train step
+    overfits a fixed synthetic batch."""
+    cfg = _small_cfg(synth_dir, str(tmp_path))
+    ds = InstanceCommonDataset(synth_dir, canvas=cfg.canvas)
+    batch = host_batch([ds.fetch(i) for i in range(4)])
+
+    model = Segment(in_channels=20, dtype=jnp.float32)
+    tx = optax.adam(cfg.learning_rate)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 17)),
+    )
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    rng = jax.random.PRNGKey(0)
+    first_loss = None
+    for i in range(60):
+        state, metrics = train_step(state, batch, jax.random.fold_in(rng, i))
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    assert last_loss < first_loss * 0.3, (first_loss, last_loss)
+
+    _, _, iou = eval_step(state.variables, batch)
+    assert float(iou) > 0.5, float(iou)
+
+
+def test_trainer_loop_and_checkpoint_contract(synth_dir, tmp_path):
+    cfg = _small_cfg(synth_dir, str(tmp_path), epochs=2, val_iter=1000, show_iter=1)
+    trainer = Trainer(cfg)
+    trainer.train()
+    # a best checkpoint must exist (gate lowered to 0)
+    ckpt = BranchBestCheckpoint(cfg.checkpoint_dir)
+    assert ckpt.exists()
+    meta = read_meta(ckpt.path)
+    assert meta["best"] >= 0.0 and meta["epoch"] >= 1
+    assert meta["branch_name"] == ckpt.branch_name
+
+    # resume: a fresh trainer picks the checkpoint up
+    trainer2 = Trainer(cfg)
+    assert trainer2.start_epoch == meta["epoch"]
+    assert trainer2.iou_max == pytest.approx(meta["best"])
+    # resumed params equal saved params
+    a = jax.tree_util.tree_leaves(trainer2.state.params)
+    b = jax.tree_util.tree_leaves(trainer.state.params)
+    # note: trainer.state was trained beyond the save point only if more
+    # steps ran after the save; just check structure + finiteness
+    assert len(a) == len(b)
+    assert all(np.isfinite(np.asarray(x)).all() for x in a)
+
+
+def test_checkpoint_atomic_roundtrip(tmp_path):
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "b": np.float32(1.5)}
+    path = str(tmp_path / "x.ckpt")
+    save_checkpoint(path, tree, {"best": 0.5, "epoch": 3})
+    loaded, meta = load_checkpoint(path, {"w": np.zeros((2, 3), np.float32), "b": np.float32(0)})
+    np.testing.assert_array_equal(loaded["w"], tree["w"])
+    assert meta == {"best": 0.5, "epoch": 3}
+    assert read_meta(path) == meta
+    # corrupt file -> read_meta returns None, not an exception
+    with open(path, "wb") as f:
+        f.write(b"garbage")
+    assert read_meta(path) is None
