@@ -1,0 +1,111 @@
+"""Inference pipeline/CLI tests (mechanics + inverse-warp correctness)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+from instancesegmentation_tpu.data.pipeline import host_batch
+from instancesegmentation_tpu.data.synthetic import make_synthetic_dataset
+from instancesegmentation_tpu.infer.cli import list_images, main as infer_main
+from instancesegmentation_tpu.infer.pipeline import InferenceEngine
+from instancesegmentation_tpu.models.segment import Segment
+from instancesegmentation_tpu.ops.warp import WarpParams, instance_warp_params, warp_image
+
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_infer")
+    make_synthetic_dataset(str(root), num_images=3, objects_per_image=1, seed=5)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def engine3():
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    return InferenceEngine(variables, in_channels=3, size=SIZE, dtype=jnp.float32)
+
+
+def test_predict_images_shapes(engine3):
+    rng = np.random.default_rng(0)
+    images = [
+        rng.integers(0, 255, size=(100, 140, 3), dtype=np.uint8),
+        rng.integers(0, 255, size=(80, 60, 3), dtype=np.uint8),
+    ]
+    masks = engine3.predict_images(images)
+    assert masks[0].shape == (100, 140) and masks[1].shape == (80, 60)
+    assert all(m.dtype == np.uint8 for m in masks)
+    assert all(set(np.unique(m)) <= {0, 255} for m in masks)
+
+
+def test_inverse_warp_roundtrip(synth):
+    """A crop warped out and inverse-warped back must land on the
+    original mask region (IoU > 0.8)."""
+    ds = InstanceCommonDataset(synth, canvas=192)
+    s = ds.fetch(0)
+    params = instance_warp_params(
+        jnp.asarray(s.obj_box), jnp.asarray(s.mask_box),
+        jnp.asarray(s.image_hw), (SIZE, SIZE), 16, s.mask_valid,
+    )
+    crop = warp_image(
+        jnp.asarray(s.mask[..., None], jnp.float32), params, (SIZE, SIZE)
+    )
+    inv = WarpParams(scale=1.0 / params.scale, offset=-params.offset / params.scale)
+    back = np.asarray(warp_image(crop, inv, (192, 192)))[..., 0]
+    a = back > 127
+    b = s.mask > 127
+    iou = np.logical_and(a, b).sum() / max(np.logical_or(a, b).sum(), 1)
+    assert iou > 0.8, iou
+
+
+def test_predict_instances_mechanics(synth):
+    ds = InstanceCommonDataset(synth, canvas=192)
+    batch = host_batch([ds.fetch(i) for i in range(2)])
+    model = Segment(in_channels=20, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, SIZE, SIZE, 3)),
+        jnp.zeros((1, SIZE, SIZE, 17)),
+    )
+    engine = InferenceEngine(variables, in_channels=20, size=SIZE, dtype=jnp.float32)
+    probs, canvas_masks = engine.predict_instances(batch)
+    assert probs.shape == (2, SIZE, SIZE, 1)
+    assert canvas_masks.shape == (2, 192, 192)
+    assert probs.min() >= 0 and probs.max() <= 1
+
+
+def test_cli_whole_image_mode(synth, tmp_path):
+    out_dir = str(tmp_path / "masks")
+    rc = infer_main([
+        "-i", os.path.join(synth, "image"),
+        "-o", out_dir,
+        "--size", str(SIZE),
+        "--batch", "2",
+        "--float32",
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert len(outs) == 3
+    # continue-test skips existing
+    rc = infer_main([
+        "-i", os.path.join(synth, "image"),
+        "-o", out_dir,
+        "--size", str(SIZE),
+        "--continue-test",
+        "--float32",
+    ])
+    assert rc == 0
+
+
+def test_list_images_filters_extensions(tmp_path):
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    (tmp_path / "b.png").write_bytes(b"x")
+    (tmp_path / "c.txt").write_bytes(b"x")
+    (tmp_path / "d.jpgerr").write_bytes(b"x")  # the reference glob bug case
+    assert [os.path.basename(p) for p in list_images(str(tmp_path))] == ["a.jpg", "b.png"]
