@@ -86,3 +86,23 @@ def test_common_utils():
     assert path_decompose("/tmp/dir/file.png") == ("/tmp/dir", "file", "png")
     assert mean([1.0, 2.0, 3.0]) == 2.0
     assert mean(x for x in []) == 0.0
+
+
+def test_mask_ap_rle_matches_bitmap_ap():
+    from instancesegmentation_tpu.core.evaluation import mask_ap_rle
+    from instancesegmentation_tpu.core.rasterize import rle_encode
+
+    gts = [[_m(0, 20, 0, 20)], [_m(5, 25, 5, 25), _m(30, 40, 30, 40)]]
+    preds = [
+        {"masks": [_m(0, 20, 0, 20), _m(0, 20, 0, 13)], "scores": [0.9, 0.8]},
+        {"masks": [_m(5, 25, 5, 25)], "scores": [0.7]},
+    ]
+    bitmap = mask_ap(preds, gts)
+    rle_preds = [
+        {"masks": [rle_encode(m) for m in p["masks"]], "scores": p["scores"]}
+        for p in preds
+    ]
+    rle_gts = [[rle_encode(m) for m in g] for g in gts]
+    rle = mask_ap_rle(rle_preds, rle_gts)
+    assert rle["AP"] == pytest.approx(bitmap["AP"], abs=1e-9)
+    assert rle["AP50"] == pytest.approx(bitmap["AP50"], abs=1e-9)
