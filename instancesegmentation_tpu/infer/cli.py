@@ -94,6 +94,8 @@ def main(argv=None) -> int:
         ):
             _, canvas_masks = engine.predict_instances(batch)
             for i in range(canvas_masks.shape[0]):
+                if written >= len(ds):
+                    break  # tail-batch padding repeats samples; drop it
                 out_path = os.path.join(args.output_dir, f"{written:06d}.png")
                 written += 1
                 if args.continue_test and os.path.exists(out_path):

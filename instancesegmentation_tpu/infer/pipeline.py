@@ -77,7 +77,15 @@ class InferenceEngine:
         @jax.jit
         def _forward_whole(variables, images_u8):
             x = images_u8.astype(jnp.float32) / 127.5 - 1.0
-            logits = self.model.apply(variables, x, train=False)
+            if self.in_channels > 3:
+                # no keypoints in whole-image mode: condition on all-zero
+                # heatmaps (exactly what the training pipeline renders
+                # when no keypoint is visible), so a conditioned
+                # checkpoint still serves plain images
+                hm = jnp.zeros(x.shape[:3] + (self.in_channels - 3,), x.dtype)
+                logits = self.model.apply(variables, x, hm, train=False)
+            else:
+                logits = self.model.apply(variables, x, train=False)
             return jax.nn.sigmoid(logits)
 
         @jax.jit

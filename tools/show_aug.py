@@ -111,6 +111,16 @@ def show_aug(dataset_dir: str, out_dir: str, limit: int = 16, out_size: int = 48
 
 
 def main(argv=None):
+    # visual QA never needs an accelerator; forcing CPU avoids minutes
+    # of remote-TPU compile latency for throwaway shapes (env vars are
+    # not enough here — the container pins JAX_PLATFORMS at startup)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("mode", choices=["show-dataset", "show-aug"])
     parser.add_argument("dataset_dir")
