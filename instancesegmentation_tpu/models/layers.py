@@ -117,11 +117,15 @@ class ConvBN(nn.Module):
             kernel_init=kaiming_normal_init,
             name="conv",
         )(x)
+        # train: f32 batch statistics for numerical stability.
+        # inference: BN is a per-channel affine — run it in the compute
+        # dtype so bf16 activations stay bf16 end-to-end (halves the
+        # HBM traffic that bounds this model's throughput).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=jnp.float32 if train else self.dtype,
             axis_name=self.bn_axis_name if train else None,
             name="bn",
         )(x)
@@ -382,7 +386,7 @@ class BottleneckUpRes(nn.Module):
         y = ConvTranspose(self.planes, 4, stride=2, padding=1, dtype=self.dtype, name="convs_1")(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=jnp.float32 if train else self.dtype,
             axis_name=self.bn_axis_name if train else None,
             name="convs_bn",
         )(y)

@@ -1,0 +1,65 @@
+"""Data-parallel batched inference over a device mesh.
+
+Multi-chip serving path: the global batch is sharded over the 'data'
+axis, each chip runs the fused normalize+forward+sigmoid program on its
+slice, outputs come back batch-sharded (jax keeps them distributed;
+only consumers that pull to host pay a gather).  For the 257K-param
+Segment model parameters are replicated — at this size weight
+replication is free and avoids all collectives in the forward pass
+(zero ICI traffic per step; scaling is embarrassingly parallel).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from instancesegmentation_tpu.parallel.mesh import make_mesh
+
+
+class ParallelInferenceEngine:
+    """Shard-batched whole-image inference (see infer.pipeline for the
+    single-chip engine; instance mode composes the same way)."""
+
+    def __init__(
+        self,
+        variables: dict,
+        in_channels: int = 3,
+        size: int = 512,
+        dtype=jnp.bfloat16,
+        num_devices: Optional[int] = None,
+    ):
+        from instancesegmentation_tpu.models.segment import Segment
+
+        self.mesh = make_mesh(num_devices)
+        self.n = self.mesh.devices.size
+        self.size = size
+        self.in_channels = in_channels
+        self.model = Segment(in_channels=in_channels, dtype=dtype)
+        self.variables = jax.device_put(
+            variables, NamedSharding(self.mesh, P())
+        )
+        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        @jax.jit
+        def forward(variables, images_u8):
+            x = images_u8.astype(jnp.float32) / 127.5 - 1.0
+            if in_channels > 3:
+                hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
+                logits = self.model.apply(variables, x, hm, train=False)
+            else:
+                logits = self.model.apply(variables, x, train=False)
+            return jax.nn.sigmoid(logits)
+
+        self._forward = forward
+
+    def __call__(self, images_u8) -> jax.Array:
+        """images_u8 [B, S, S, 3] (B divisible by the mesh size) ->
+        probs [B, S, S, 1], batch-sharded across chips."""
+        b = images_u8.shape[0]
+        if b % self.n:
+            raise ValueError(f"batch {b} not divisible by {self.n} devices")
+        images = jax.device_put(jnp.asarray(images_u8), self._batch_sharding)
+        return self._forward(self.variables, images)

@@ -108,3 +108,24 @@ def test_global_batch_divisibility_check():
     model = Segment(in_channels=20, dtype=jnp.float32, bn_axis_name="data")
     with pytest.raises(ValueError, match="not divisible"):
         make_parallel_steps(model, optax.adam(1e-3), cfg)
+
+
+def test_parallel_inference_engine():
+    from instancesegmentation_tpu.parallel.inference import ParallelInferenceEngine
+    from instancesegmentation_tpu.infer.pipeline import InferenceEngine
+
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    par = ParallelInferenceEngine(variables, in_channels=3, size=64, dtype=jnp.float32)
+    single = InferenceEngine(variables, in_channels=3, size=64, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8)
+    probs = np.asarray(par(images))
+    assert probs.shape == (8, 64, 64, 1)
+    # matches the single-device fused forward
+    ref = np.asarray(single._forward_whole(variables, jnp.asarray(images)))
+    np.testing.assert_allclose(probs, ref, atol=5e-4)
+    # sharded across the mesh
+    with pytest.raises(ValueError, match="not divisible"):
+        par(images[:5])
