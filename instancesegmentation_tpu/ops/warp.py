@@ -34,13 +34,10 @@ import jax
 import jax.numpy as jnp
 
 
-#: Black border (px) added around the source canvas before sampling.
-#: ``jax.image.scale_and_translate`` is NOT zero-fill at boundaries (it
-#: drops samples beyond +/-0.5 px and renormalizes within the band —
-#: measured, see tests/test_ops_warp_heatmap.py); padding the canvas
-#: with real black pixels makes every boundary blend read actual zeros,
-#: exactly like imgaug's constant fill.  24 covers the 16 px crop pad
-#: plus bilinear support; jittered windows are clamped to this margin.
+#: Margin (px) jittered windows may extend beyond the canvas.  The
+#: sampler itself is exactly zero-fill at any distance (see
+#: ``_axis_weights``); this constant only bounds the jitter so crops
+#: stay near the canvas.
 SRC_PAD = 24
 
 
@@ -115,6 +112,22 @@ def instance_warp_params(
     return WarpParams(scale=scale, offset=offset)
 
 
+def _axis_weights(scale, offset, in_size: int, out_size: int) -> jax.Array:
+    """Bilinear (hat-kernel) sampling weights [out_size, in_size].
+
+    Row u holds the interpolation weights of source pixels for output
+    pixel u at ``src = (u+0.5)*scale - 0.5 + offset``.  Weights of
+    out-of-canvas source positions simply don't exist, so boundary
+    blends mix with an implicit zero — EXACTLY imgaug's constant black
+    fill (no clamp, no renormalization).  Negative scales (flips) fall
+    out for free.
+    """
+    u = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)
+    grid = jax.lax.broadcasted_iota(jnp.float32, (1, in_size), 1)
+    src = (u + 0.5) * scale - 0.5 + offset
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src - grid))
+
+
 def warp_image(
     image: jax.Array,
     params: WarpParams,
@@ -123,28 +136,24 @@ def warp_image(
 ) -> jax.Array:
     """Sample one [H, W, C] image through WarpParams to [out_h, out_w, C].
 
-    Out-of-bounds pixels read 0 (black fill, matching imgaug's constant
-    pad).  ``antialias=False`` matches plain bilinear (cv2/imgaug do not
-    prefilter when downscaling).
+    Implemented as two MXU contractions with explicitly-built separable
+    bilinear weight matrices.  Compared to ``jax.image.scale_and_translate``
+    this gives exact constant-black out-of-bounds semantics (s&t drops
+    samples beyond +/-0.5 px and renormalizes inside the band, which
+    previously forced a padded source canvas) with identical steady-state
+    cost (~3 ms per batch-8 640->480 warp measured on v5e).
     """
+    if method != "linear":
+        raise NotImplementedError("only bilinear warps are supported")
     out_h, out_w = out_hw
-    # surround the canvas with real black so boundary blends match
-    # imgaug's constant fill (see SRC_PAD note above); XLA fuses the pad
-    # into the sampling contraction
-    image = jnp.pad(image, ((SRC_PAD, SRC_PAD), (SRC_PAD, SRC_PAD), (0, 0)))
-    # jax.image.scale_and_translate convention (verified empirically):
-    #   src = (u + 0.5 - translation)/st_scale - 0.5
-    # matching our map src = (u+0.5)*scale - 0.5 + (offset + SRC_PAD):
-    st_scale = 1.0 / params.scale
-    st_translation = -(params.offset + SRC_PAD) * st_scale
-    return jax.image.scale_and_translate(
-        image,
-        (out_h, out_w, image.shape[-1]),
-        (0, 1),
-        st_scale,
-        st_translation,
-        method,
-        antialias=False,
+    h, w = image.shape[0], image.shape[1]
+    wy = _axis_weights(params.scale[0], params.offset[0], h, out_h)  # [oh, H]
+    wx = _axis_weights(params.scale[1], params.offset[1], w, out_w)  # [ow, W]
+    tmp = jnp.einsum(
+        "yh,hwc->ywc", wy, image, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "xw,ywc->yxc", wx, tmp, preferred_element_type=jnp.float32
     )
 
 

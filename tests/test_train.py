@@ -116,3 +116,33 @@ def test_checkpoint_atomic_roundtrip(tmp_path):
     with open(path, "wb") as f:
         f.write(b"garbage")
     assert read_meta(path) is None
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    import optax
+
+    from instancesegmentation_tpu.train.checkpoint_orbax import (
+        OrbaxBranchBestCheckpoint,
+    )
+
+    model = __import__(
+        "instancesegmentation_tpu.models.segment", fromlist=["Segment"]
+    ).Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(variables, optax.adam(1e-3))
+
+    ckpt = OrbaxBranchBestCheckpoint(str(tmp_path), branch_name="test")
+    assert not ckpt.exists()
+    ckpt.save(state, best=0.75, epoch=4)
+    assert ckpt.exists()
+    assert ckpt.best() == 0.75
+
+    restored, meta = ckpt.load(state)
+    assert meta == {"branch_name": "test", "best": 0.75, "epoch": 4}
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    # overwrite (the reference's repeated save-best) must work
+    ckpt.save(state, best=0.8, epoch=5)
+    assert ckpt.best() == 0.8
