@@ -45,6 +45,8 @@ class TrainConfig:
     save_iou_gate: float = 0.7     # save-best quality gate (ref :492)
     regression_threshold: float = 0.3  # reload-best threshold (ref :472)
     stale_epochs: int = 10         # syn_train staleness adoption (ref :482)
+    max_restarts: int = 20         # bound on reload/adoption restarts
+                                   # (the reference can restart forever)
 
     # augmentation (reference-parity defaults: off; see SURVEY.md §2.9)
     flip_prob: float = 0.0

@@ -156,6 +156,7 @@ class Trainer:
         epoch = self.start_epoch
         rng = jax.random.PRNGKey(cfg.seed)
         last_val = 0.0
+        restarts = 0
 
         while epoch < cfg.epochs:
             restarted = False
@@ -202,17 +203,26 @@ class Trainer:
                         int(self.state.step), val_iou=val_iou, epoch=epoch
                     )
 
+                    # restart budget: the reference can reload forever
+                    # when a checkpoint's best IoU is unreachable
+                    # (ref :471-489 has no bound); cap it here
+                    may_restart = restarts < cfg.max_restarts
+
                     # regression guard (ref :471-477)
-                    if self.iou_max - val_iou > cfg.regression_threshold:
-                        if self.ckpt.exists():
-                            print(
-                                "val_iou too low, reload checkpoint from "
-                                + self.ckpt.path
-                            )
-                            if self._load_best():
-                                epoch = self.start_epoch - 1
-                                restarted = True
-                                break
+                    if (
+                        may_restart
+                        and self.iou_max - val_iou > cfg.regression_threshold
+                        and self.ckpt.exists()
+                    ):
+                        print(
+                            "val_iou too low, reload checkpoint from "
+                            + self.ckpt.path
+                        )
+                        if self._load_best():
+                            epoch = self.start_epoch - 1
+                            restarted = True
+                            restarts += 1
+                            break
 
                     # syn_train adoption (ref :479-489)
                     if self.ckpt.exists():
@@ -221,11 +231,12 @@ class Trainer:
                         if self.iou_max < peer_best or stale:
                             print(f"update model from {self.ckpt.path}")
                             self.iou_max = max(self.iou_max, peer_best)
-                            if cfg.syn_train:
+                            if cfg.syn_train and may_restart:
                                 print("syn_train...")
                                 if self._load_best():
                                     epoch = self.start_epoch - 1
                                     restarted = True
+                                    restarts += 1
                                     break
 
                     # save-best (ref :491-509)

@@ -146,3 +146,38 @@ def test_orbax_checkpoint_backend(tmp_path):
     # overwrite (the reference's repeated save-best) must work
     ckpt.save(state, best=0.8, epoch=5)
     assert ckpt.best() == 0.8
+
+
+def test_regression_reload_bounded(synth_dir, tmp_path):
+    """A checkpoint claiming an unreachable best IoU triggers the
+    regression reload (ref :471-477) but the restart budget prevents the
+    reference's infinite reload loop."""
+    cfg = _small_cfg(
+        synth_dir, str(tmp_path), epochs=2, val_iter=1, show_iter=100,
+        max_restarts=2, continue_train=False,
+    )
+    # plant a branch-best checkpoint with an unreachably high best IoU
+    trainer = Trainer(cfg)
+    trainer.ckpt.save(trainer.state, best=0.99, epoch=1)
+
+    trainer = Trainer(cfg)  # reads iou_max=0.99, does not resume params
+    assert trainer.iou_max == pytest.approx(0.99)
+    trainer.train()  # must terminate (2 restarts + epoch budget)
+
+
+def test_syn_train_adoption(synth_dir, tmp_path):
+    """A better peer checkpoint is adopted when syn_train is on
+    (ref :479-489)."""
+    cfg = _small_cfg(
+        synth_dir, str(tmp_path), epochs=1, val_iter=1, show_iter=100,
+        syn_train=True, max_restarts=1, continue_train=False,
+        regression_threshold=10.0,  # keep the regression path quiet
+    )
+    trainer = Trainer(cfg)
+    # a "peer process" pushes a better checkpoint with a marker epoch
+    peer_state = trainer.state
+    trainer.ckpt.save(peer_state, best=0.42, epoch=1)
+    trainer.iou_max = 0.1
+    trainer.train()
+    # adoption must have raised iou_max to the peer's best
+    assert trainer.iou_max >= 0.42
