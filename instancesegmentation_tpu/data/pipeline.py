@@ -171,6 +171,30 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
     return images, heatmaps, masks
 
 
+def device_prefetch(iterator: Iterator[dict], depth: int = 2, sharding=None) -> Iterator[dict]:
+    """Keep ``depth`` batches in flight to the device ahead of the
+    consumer (double-buffered host->HBM transfer).
+
+    ``jax.device_put`` is async, so while the train step computes batch
+    n the transfer of batch n+1 proceeds; pass a NamedSharding to land
+    batches pre-sharded across a mesh.
+    """
+    import collections
+
+    put = (
+        (lambda b: jax.device_put(b, sharding))
+        if sharding is not None
+        else jax.device_put
+    )
+    queue_: collections.deque = collections.deque()
+    for item in iterator:
+        queue_.append(put(item))
+        if len(queue_) > depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 def batch_iterator(
     dataset: InstanceCommonDataset,
     batch_size: int,

@@ -89,20 +89,48 @@ class InferenceEngine:
             return jax.nn.sigmoid(logits)
 
         @jax.jit
-        def _forward_instance(variables, canvas_u8, scale, offset, heatmaps):
+        def _forward_instance(variables, canvas_u8, image_hw, obj_box, mask_box,
+                              mask_valid, keypoints):
+            # the ENTIRE instance pipeline is one XLA program: warp
+            # params, crop-warp, heatmap render, forward, sigmoid and
+            # the inverse warp back to the canvas frame
+            from instancesegmentation_tpu.ops.heatmap import render_heatmaps
+            from instancesegmentation_tpu.ops.warp import (
+                instance_warp_params,
+                warp_points,
+            )
+
             out_hw = (self.size, self.size)
+            params = jax.vmap(
+                lambda ob, mb, hw, mv: instance_warp_params(
+                    ob, mb, hw, out_hw, 16, mv
+                )
+            )(
+                obj_box.astype(jnp.float32),
+                mask_box.astype(jnp.float32),
+                image_hw.astype(jnp.float32),
+                mask_valid,
+            )
             imgs = jax.vmap(
                 lambda im, s, o: warp_image(
                     im.astype(jnp.float32), WarpParams(s, o), out_hw
                 )
-            )(canvas_u8, scale, offset)
+            )(canvas_u8, params.scale, params.offset)
             x = jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0
-            hm = heatmaps if self.in_channels > 3 else None
+            if self.in_channels > 3:
+                kps = keypoints.astype(jnp.float32)
+                pts = jax.vmap(
+                    lambda p, s, o: warp_points(p, WarpParams(s, o))
+                )(kps[..., :2], params.scale, params.offset)
+                vis = kps[..., 2] > 0.5
+                hm = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
+            else:
+                hm = None
             logits = self.model.apply(variables, x, hm, train=False)
             probs = jax.nn.sigmoid(logits)
             # inverse warp back into the canvas frame
-            inv_scale = 1.0 / scale
-            inv_offset = -offset / scale
+            inv_scale = 1.0 / params.scale
+            inv_offset = -params.offset / params.scale
             canvas_hw = canvas_u8.shape[1:3]
             back = jax.vmap(
                 lambda p, s, o: warp_image(p, WarpParams(s, o), canvas_hw)
@@ -133,42 +161,19 @@ class InferenceEngine:
         return masks
 
     # ------------------------------------------------------------------
-    def predict_instances(self, batch: dict, heatmap_cfg=None):
+    def predict_instances(self, batch: dict):
         """Instance mode over a host batch (see data.pipeline.host_batch).
 
         Returns (crop_probs [B,S,S,1], canvas_masks uint8 [B,C,C]).
         """
-        from instancesegmentation_tpu.data.pipeline import AugmentConfig, preprocess_batch
-        from instancesegmentation_tpu.ops.warp import instance_warp_params
-        from instancesegmentation_tpu.ops.heatmap import render_heatmaps
-        from instancesegmentation_tpu.ops.warp import warp_points
-
-        out_hw = (self.size, self.size)
-        params = jax.vmap(
-            lambda ob, mb, hw, mv: instance_warp_params(ob, mb, hw, out_hw, 16, mv)
-        )(
-            jnp.asarray(batch["obj_box"], jnp.float32),
-            jnp.asarray(batch["mask_box"], jnp.float32),
-            jnp.asarray(batch["image_hw"], jnp.float32),
-            jnp.asarray(batch["mask_valid"]),
-        )
-        if self.in_channels > 3:
-            kps = jnp.asarray(batch["keypoints"], jnp.float32)
-            pts = jax.vmap(lambda p, s, o: warp_points(p, WarpParams(s, o)))(
-                kps[..., :2], params.scale, params.offset
-            )
-            vis = kps[..., 2] > 0.5
-            heatmaps = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
-        else:
-            b = batch["image"].shape[0]
-            heatmaps = jnp.zeros((b, self.size, self.size, 0))
-
         probs, back = self._forward_instance(
             self.variables,
             jnp.asarray(batch["image"]),
-            params.scale,
-            params.offset,
-            heatmaps,
+            jnp.asarray(batch["image_hw"]),
+            jnp.asarray(batch["obj_box"]),
+            jnp.asarray(batch["mask_box"]),
+            jnp.asarray(batch["mask_valid"]),
+            jnp.asarray(batch["keypoints"]),
         )
         canvas_masks = (np.asarray(back[..., 0]) > self.threshold).astype(np.uint8) * 255
         return np.asarray(probs), canvas_masks

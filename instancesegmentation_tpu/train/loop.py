@@ -149,6 +149,14 @@ class Trainer:
         print(f"branch name: {self.ckpt.branch_name}")
         print(f"devices: {jax.devices()}")
 
+        # reproducibility: persist the exact config next to the metrics
+        import dataclasses as _dc
+        import json as _json
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
+            _json.dump(_dc.asdict(cfg), f, indent=2)
+
         trainset = InstanceCommonDataset(cfg.train_dataset_dir, cfg.canvas)
         valset = InstanceCommonDataset(cfg.val_dataset_dir, cfg.canvas)
         print(f"train samples: {len(trainset)}  val samples: {len(valset)}")
@@ -163,13 +171,20 @@ class Trainer:
             losses = []
             t_start = time.time()
             n_seen = 0
-            for i0, batch in enumerate(
-                batch_iterator(
-                    trainset, cfg.batch_size, shuffle=True,
-                    seed=cfg.seed + epoch, epochs=1,
-                    num_threads=cfg.num_threads,
-                )
-            ):
+            from instancesegmentation_tpu.data.pipeline import device_prefetch
+
+            host_batches = batch_iterator(
+                trainset, cfg.batch_size, shuffle=True,
+                seed=cfg.seed + epoch, epochs=1,
+                num_threads=cfg.num_threads,
+            )
+            if cfg.data_parallel:
+                # shard_batch device_puts with the mesh sharding; the
+                # async transfer itself provides the double buffering
+                batches = host_batches
+            else:
+                batches = device_prefetch(host_batches)
+            for i0, batch in enumerate(batches):
                 step_rng = jax.random.fold_in(rng, int(self.state.step))
                 self.state, metrics = self.train_step(
                     self.state, self.shard_batch(batch), step_rng
