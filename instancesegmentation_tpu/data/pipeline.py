@@ -189,7 +189,7 @@ def device_prefetch(iterator: Iterator[dict], depth: int = 2, sharding=None) -> 
     queue_: collections.deque = collections.deque()
     for item in iterator:
         queue_.append(put(item))
-        if len(queue_) > depth:
+        if len(queue_) >= depth:
             yield queue_.popleft()
     while queue_:
         yield queue_.popleft()
@@ -228,6 +228,18 @@ def batch_iterator(
             )
             epoch += 1
 
+    def try_put(item) -> bool:
+        # never block forever: an abandoned consumer sets `stop`, and a
+        # producer stuck in q.put on a full queue would leak the thread
+        # plus its decoded batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for idxs in order_stream():
@@ -239,16 +251,24 @@ def batch_iterator(
                     idxs = np.concatenate(
                         [idxs, np.repeat(idxs[:1], batch_size - len(idxs))]
                     )
-                samples = list(pool.map(dataset.fetch, idxs))
-                q.put(host_batch(samples))
+                if not try_put(host_batch(list(pool.map(dataset.fetch, idxs)))):
+                    return
         finally:
-            q.put(None)
+            try:
+                q.put(None, block=False)
+            except queue.Full:
+                pass  # consumer is gone; nothing waits for the sentinel
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     try:
         while True:
-            item = q.get()
+            try:
+                item = q.get(timeout=1.0)
+            except queue.Empty:
+                if not thread.is_alive():
+                    break  # producer died without a sentinel
+                continue
             if item is None:
                 break
             yield item

@@ -70,11 +70,15 @@ class Trainer:
                     self.mesh, jax.sharding.PartitionSpec()
                 )
             )
+            self.batch_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data")
+            )
         else:
             self.mesh = None
             self.train_step = make_train_step(self.model, self.tx, cfg)
             self.eval_step = make_eval_step(self.model, cfg)
             self.shard_batch = lambda b: b
+            self.batch_sharding = None
 
         self.ckpt = BranchBestCheckpoint(
             cfg.checkpoint_dir, explicit_path=cfg.checkpoint_save_path
@@ -153,7 +157,8 @@ class Trainer:
         import dataclasses as _dc
         import json as _json
 
-        os.makedirs(cfg.out_dir, exist_ok=True)
+        from instancesegmentation_tpu.data.pipeline import device_prefetch
+
         with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
             _json.dump(_dc.asdict(cfg), f, indent=2)
 
@@ -165,30 +170,30 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         last_val = 0.0
         restarts = 0
+        # host-side step counter: reading self.state.step would force a
+        # device sync every iteration, killing dispatch pipelining
+        host_step = int(self.state.step)
 
         while epoch < cfg.epochs:
             restarted = False
             losses = []
             t_start = time.time()
             n_seen = 0
-            from instancesegmentation_tpu.data.pipeline import device_prefetch
-
-            host_batches = batch_iterator(
-                trainset, cfg.batch_size, shuffle=True,
-                seed=cfg.seed + epoch, epochs=1,
-                num_threads=cfg.num_threads,
+            # double-buffered host->HBM (pre-sharded over the mesh in DP)
+            batches = device_prefetch(
+                batch_iterator(
+                    trainset, cfg.batch_size, shuffle=True,
+                    seed=cfg.seed + epoch, epochs=1,
+                    num_threads=cfg.num_threads,
+                ),
+                sharding=self.batch_sharding,
             )
-            if cfg.data_parallel:
-                # shard_batch device_puts with the mesh sharding; the
-                # async transfer itself provides the double buffering
-                batches = host_batches
-            else:
-                batches = device_prefetch(host_batches)
             for i0, batch in enumerate(batches):
-                step_rng = jax.random.fold_in(rng, int(self.state.step))
+                step_rng = jax.random.fold_in(rng, host_step)
                 self.state, metrics = self.train_step(
-                    self.state, self.shard_batch(batch), step_rng
+                    self.state, batch, step_rng
                 )
+                host_step += 1
                 losses.append(metrics["loss"])
                 n_seen += cfg.batch_size
 
@@ -200,7 +205,7 @@ class Trainer:
                         f" [loss: {loss:.6f}] [{ips:.1f} img/s]"
                     )
                     self.logger.log(
-                        int(self.state.step), loss=loss, images_per_sec=ips,
+                        host_step, loss=loss, images_per_sec=ips,
                         train_iou=float(metrics["train_iou"]), epoch=epoch,
                     )
                     losses = []
@@ -214,9 +219,7 @@ class Trainer:
                         f" [train_batch_iou: {float(metrics['train_iou']):.6f}]"
                         f" [val_iou: {val_iou:.6f}]"
                     )
-                    self.logger.log(
-                        int(self.state.step), val_iou=val_iou, epoch=epoch
-                    )
+                    self.logger.log(host_step, val_iou=val_iou, epoch=epoch)
 
                     # restart budget: the reference can reload forever
                     # when a checkpoint's best IoU is unreachable
@@ -262,6 +265,9 @@ class Trainer:
 
             epoch += 1
             if restarted:
+                # resync the host step counter with the reloaded state
+                # (one device sync per restart, not per step)
+                host_step = int(self.state.step)
                 continue
         self.logger.close()
         return last_val
