@@ -32,6 +32,11 @@ def parse_args(argv=None):
     parser.add_argument("--dataset-mode", action="store_true",
                         help="treat input as a common-format dataset; "
                              "per-instance crops + keypoint conditioning")
+    parser.add_argument("--proposals", default=None,
+                        help="JSON file {image_name: {boxes: [[xyxy]...], "
+                             "scores: [...]}}: proposal-based multi-instance "
+                             "mode (device NMS + per-proposal segmentation)")
+    parser.add_argument("--nms-threshold", type=float, default=0.7)
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--threshold", type=float, default=0.5)
@@ -103,6 +108,35 @@ def main(argv=None) -> int:
                 h, w = batch["image_hw"][i].astype(int)
                 cv2.imwrite(out_path, canvas_masks[i, :h, :w])
         print(f"wrote {written} instance masks to {args.output_dir}")
+        return 0
+
+    if args.proposals:
+        import json
+
+        from instancesegmentation_tpu.infer.proposals import segment_proposals
+
+        with open(args.proposals) as f:
+            proposal_map = json.load(f)
+        written = 0
+        for path in list_images(args.test_image_dir):
+            name = os.path.splitext(os.path.basename(path))[0]
+            entry_ = proposal_map.get(name) or proposal_map.get(
+                os.path.basename(path)
+            )
+            if not entry_:
+                continue
+            img = cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            results = segment_proposals(
+                engine, img, entry_["boxes"], entry_["scores"],
+                nms_threshold=args.nms_threshold,
+            )
+            for j, r in enumerate(results):
+                out_path = os.path.join(args.output_dir, f"{name}_{j}.png")
+                if args.continue_test and os.path.exists(out_path):
+                    continue
+                cv2.imwrite(out_path, r["mask"])
+                written += 1
+        print(f"wrote {written} proposal masks to {args.output_dir}")
         return 0
 
     paths = list_images(args.test_image_dir)

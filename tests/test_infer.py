@@ -109,3 +109,33 @@ def test_list_images_filters_extensions(tmp_path):
     (tmp_path / "c.txt").write_bytes(b"x")
     (tmp_path / "d.jpgerr").write_bytes(b"x")  # the reference glob bug case
     assert [os.path.basename(p) for p in list_images(str(tmp_path))] == ["a.jpg", "b.png"]
+
+
+def test_cli_proposal_mode(synth, tmp_path):
+    import json
+
+    # proposals for the first synthetic image: its object box + a dup
+    from instancesegmentation_tpu.core.records import common_ann_loader
+    from instancesegmentation_tpu.core.keys import key_combine
+
+    ann = next(common_ann_loader(synth))
+    name = os.path.splitext(
+        os.path.basename(ann[key_combine("image", "image_path")])
+    )[0]
+    box = ann[key_combine("object", "sub_list")][0][key_combine("box", "box_xyxy")]
+    prop_file = tmp_path / "props.json"
+    prop_file.write_text(json.dumps({
+        name: {"boxes": [box, [b + 1 for b in box]], "scores": [0.9, 0.5]}
+    }))
+    out_dir = str(tmp_path / "pmasks")
+    rc = infer_main([
+        "-i", os.path.join(synth, "image"),
+        "-o", out_dir,
+        "--proposals", str(prop_file),
+        "--size", str(SIZE),
+        "--float32",
+        "--nms-threshold", "0.5",
+    ])
+    assert rc == 0
+    outs = os.listdir(out_dir)
+    assert outs == [f"{name}_0.png"]  # duplicate suppressed by NMS
