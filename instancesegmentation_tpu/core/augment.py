@@ -20,7 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from instancesegmentation_tpu.core.keys import key_combine, key_decompose
+from instancesegmentation_tpu.core.keys import key_decompose
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +67,9 @@ class Affine:
         return Affine((b @ a)[:2], other.out_hw)
 
     # -- application -----------------------------------------------------
-    def apply_image(self, image: np.ndarray, mask: bool = False) -> np.ndarray:
+    def apply_image(self, image: np.ndarray) -> np.ndarray:
+        """Warp an image or mask array (bilinear, constant-black border —
+        masks interpolate like the training pipeline's soft targets)."""
         import cv2
 
         oh, ow = self.out_hw
@@ -107,10 +109,8 @@ def common_aug(record: dict, affine: Affine) -> None:
     for key in list(record.keys()):
         name, key_type = key_decompose(key)
         value = record[key]
-        if key_type == "image":
+        if key_type in ("image", "mask"):
             record[key] = affine.apply_image(value)
-        elif key_type == "mask":
-            record[key] = affine.apply_image(value, mask=True)
         elif key_type == "box_xyxy":
             record[key] = affine.apply_box(value)
         elif key_type == "point_xy":

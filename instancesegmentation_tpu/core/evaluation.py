@@ -44,17 +44,15 @@ def match_image(
     order = np.argsort(-np.asarray(scores), kind="stable")
     gt_taken = np.zeros(iou.shape[1], dtype=bool)
     tp = np.zeros(iou.shape[0], dtype=bool)
+    if iou.shape[1] == 0:
+        return tp
     for p in order:
-        best_j, best_iou = -1, threshold
-        # highest-IoU unmatched GT wins; first-in-score-order on ties
-        for j in range(iou.shape[1]):
-            if gt_taken[j]:
-                continue
-            if iou[p, j] >= best_iou:
-                best_iou = iou[p, j]
-                best_j = j
-        if best_j >= 0:
-            gt_taken[best_j] = True
+        # highest-IoU unmatched GT wins (vectorized over GTs; the outer
+        # loop must stay sequential — matching is greedy in score order)
+        row = np.where(gt_taken, -1.0, iou[p])
+        j = int(np.argmax(row))
+        if row[j] >= threshold:
+            gt_taken[j] = True
             tp[p] = True
     return tp
 
@@ -84,6 +82,25 @@ def average_precision(
     return float(sampled.mean())
 
 
+def _ap_over_thresholds(iou_mats, all_scores, num_gt, thresholds) -> dict:
+    """Shared matching/AP assembly for mask_ap and mask_ap_rle."""
+    per_threshold = {}
+    for t in thresholds:
+        flags = [match_image(iou, s, t) for iou, s in zip(iou_mats, all_scores)]
+        per_threshold[float(t)] = average_precision(
+            np.concatenate(flags) if flags else np.zeros(0),
+            np.concatenate(all_scores) if all_scores else np.zeros(0),
+            num_gt,
+        )
+    values = list(per_threshold.values())
+    return {
+        "AP": float(np.mean(values)),
+        "AP50": per_threshold.get(0.5, float("nan")),
+        "AP75": per_threshold.get(0.75, float("nan")),
+        "per_threshold": per_threshold,
+    }
+
+
 def mask_ap(
     predictions: Sequence[dict],
     ground_truths: Sequence[Sequence[np.ndarray]],
@@ -105,28 +122,7 @@ def mask_ap(
         iou_mats.append(mask_iou_matrix(pred["masks"], list(gts)))
         all_scores.append(np.asarray(pred["scores"], dtype=np.float64))
     num_gt = sum(len(g) for g in ground_truths)
-
-    per_threshold = {}
-    for t in thresholds:
-        flags = []
-        scores = []
-        for iou, s in zip(iou_mats, all_scores):
-            flags.append(match_image(iou, s, t))
-            scores.append(s)
-        ap = average_precision(
-            np.concatenate(flags) if flags else np.zeros(0),
-            np.concatenate(scores) if scores else np.zeros(0),
-            num_gt,
-        )
-        per_threshold[float(t)] = ap
-
-    values = list(per_threshold.values())
-    return {
-        "AP": float(np.mean(values)),
-        "AP50": per_threshold.get(0.5, float("nan")),
-        "AP75": per_threshold.get(0.75, float("nan")),
-        "per_threshold": per_threshold,
-    }
+    return _ap_over_thresholds(iou_mats, all_scores, num_gt, thresholds)
 
 
 def mask_ap_rle(
@@ -157,22 +153,7 @@ def mask_ap_rle(
         iou_mats.append(mat)
         all_scores.append(np.asarray(pred["scores"], dtype=np.float64))
     num_gt = sum(len(g) for g in ground_truths)
-
-    per_threshold = {}
-    for t in thresholds:
-        flags = [match_image(iou, s, t) for iou, s in zip(iou_mats, all_scores)]
-        per_threshold[float(t)] = average_precision(
-            np.concatenate(flags) if flags else np.zeros(0),
-            np.concatenate(all_scores) if all_scores else np.zeros(0),
-            num_gt,
-        )
-    values = list(per_threshold.values())
-    return {
-        "AP": float(np.mean(values)),
-        "AP50": per_threshold.get(0.5, float("nan")),
-        "AP75": per_threshold.get(0.75, float("nan")),
-        "per_threshold": per_threshold,
-    }
+    return _ap_over_thresholds(iou_mats, all_scores, num_gt, thresholds)
 
 
 def mean_mask_iou(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray]) -> float:

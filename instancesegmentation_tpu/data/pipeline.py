@@ -86,17 +86,27 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
     masks    [B, oh, ow, 1]  float32 in [0, 1] (soft, bilinear-resampled
              like the reference's interpolated mask targets)
     """
+    from instancesegmentation_tpu.ops.warp import (
+        center_translation,
+        clipped_mask_box,
+    )
+
     out_hw = cfg.out_size
     out_h, out_w = out_hw
     b = batch["image"].shape[0]
     r_jit, r_flip, r_bri, r_con, r_noise = jax.random.split(rng, 5)
 
-    box_args = (
-        batch["obj_box"].astype(jnp.float32),
-        batch["mask_box"].astype(jnp.float32),
-        batch["image_hw"].astype(jnp.float32),
-        batch["mask_valid"],
+    obj_box = batch["obj_box"].astype(jnp.float32)
+    image_hw = batch["image_hw"].astype(jnp.float32)
+    # exact bbox of the mask pixels surviving the centering translation
+    # (the reference recomputes mask2box on the translated mask; a plain
+    # clip(bbox + t) is wider for non-rectangular masks near the edge)
+    t = jax.vmap(center_translation)(obj_box, image_hw)
+    mask_box, mask_valid = jax.vmap(clipped_mask_box)(
+        batch["mask"], t, image_hw
     )
+
+    box_args = (obj_box, mask_box, image_hw, mask_valid)
     if cfg.jitter > 0:
         jitter = jax.random.uniform(
             r_jit, (b, 4), minval=-cfg.jitter, maxval=cfg.jitter
@@ -116,22 +126,26 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         if cfg.flip_prob > 0
         else jnp.zeros((b,), bool)
     )
-    flipped = jax.vmap(lambda s, o: flip_params_x(WarpParams(s, o), out_w))(
-        params.scale, params.offset
+    base_params = params  # unflipped: keypoints map through these
+    flipped = jax.vmap(lambda s, o, lo, hi: flip_params_x(WarpParams(s, o, lo, hi), out_w))(
+        params.scale, params.offset, params.src_lo, params.src_hi
     )
     params = WarpParams(
         scale=jnp.where(flip[:, None], flipped.scale, params.scale),
         offset=jnp.where(flip[:, None], flipped.offset, params.offset),
+        src_lo=params.src_lo,
+        src_hi=params.src_hi,
     )
 
-    def warp_one(img, mask, s, o):
-        p = WarpParams(s, o)
+    def warp_one(img, mask, s, o, lo, hi):
+        p = WarpParams(s, o, lo, hi)
         im = warp_image(img.astype(jnp.float32), p, out_hw)
         mk = warp_image(mask[..., None].astype(jnp.float32), p, out_hw)
         return im, mk
 
     images, masks = jax.vmap(warp_one)(
-        batch["image"], batch["mask"], params.scale, params.offset
+        batch["image"], batch["mask"], params.scale, params.offset,
+        params.src_lo, params.src_hi,
     )
 
     # photometric augs on the [0, 255] scale (imgaug semantics:
@@ -152,16 +166,20 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
     images = jnp.clip(images, 0.0, 255.0) / 127.5 - 1.0  # ToTensor+Normalize(.5,.5)
     masks = masks / 255.0
 
-    # keypoints -> output coords -> heatmaps (channel-swap + x-mirror
-    # under flip)
+    # keypoints -> output coords through the UNFLIPPED params, then
+    # mirrored in output space (x' = (w-1) - x, matching the pixel
+    # flip; mapping through flipped params would misalign by one pixel
+    # because warp_points' imgaug convention needs positive scales)
     kps = batch["keypoints"].astype(jnp.float32)
     pts = jax.vmap(lambda p_xy, s, o: warp_points(p_xy, WarpParams(s, o)))(
-        kps[..., :2], params.scale, params.offset
+        kps[..., :2], base_params.scale, base_params.offset
     )
     vis = kps[..., 2] > 0.5
 
     perm = jnp.asarray(_FLIP_PERM)
-    pts_f = pts[:, perm, :]
+    pts_f = jnp.stack(
+        [(out_w - 1.0) - pts[:, perm, 0], pts[:, perm, 1]], axis=-1
+    )
     vis_f = vis[:, perm]
     pts = jnp.where(flip[:, None, None], pts_f, pts)
     vis = jnp.where(flip[:, None], vis_f, vis)

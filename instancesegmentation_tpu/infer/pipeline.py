@@ -89,28 +89,38 @@ class InferenceEngine:
             return jax.nn.sigmoid(logits)
 
         @jax.jit
-        def _forward_instance(variables, canvas_u8, image_hw, obj_box, mask_box,
-                              mask_valid, keypoints):
+        def _forward_instance(variables, canvas_u8, batch_mask, image_hw,
+                              obj_box, mask_box, mask_valid, keypoints):
             # the ENTIRE instance pipeline is one XLA program: warp
             # params, crop-warp, heatmap render, forward, sigmoid and
             # the inverse warp back to the canvas frame
             from instancesegmentation_tpu.ops.heatmap import render_heatmaps
             from instancesegmentation_tpu.ops.warp import (
+                center_translation,
+                clipped_mask_box,
                 instance_warp_params,
                 warp_points,
             )
 
             out_hw = (self.size, self.size)
+            obj_box_f = obj_box.astype(jnp.float32)
+            image_hw_f = image_hw.astype(jnp.float32)
+            # exact translated-clipped mask box when a real mask exists
+            # (dataset mode); otherwise the host-provided box (proposal
+            # mode ships empty masks and uses the proposal box itself)
+            t = jax.vmap(center_translation)(obj_box_f, image_hw_f)
+            exact_box, exact_valid = jax.vmap(clipped_mask_box)(
+                batch_mask, t, image_hw_f
+            )
+            use_box = jnp.where(
+                exact_valid[:, None], exact_box, mask_box.astype(jnp.float32)
+            )
+            use_valid = exact_valid | mask_valid
             params = jax.vmap(
                 lambda ob, mb, hw, mv: instance_warp_params(
                     ob, mb, hw, out_hw, 16, mv
                 )
-            )(
-                obj_box.astype(jnp.float32),
-                mask_box.astype(jnp.float32),
-                image_hw.astype(jnp.float32),
-                mask_valid,
-            )
+            )(obj_box_f, use_box, image_hw_f, use_valid)
             imgs = jax.vmap(
                 lambda im, s, o: warp_image(
                     im.astype(jnp.float32), WarpParams(s, o), out_hw
@@ -169,6 +179,7 @@ class InferenceEngine:
         probs, back = self._forward_instance(
             self.variables,
             jnp.asarray(batch["image"]),
+            jnp.asarray(batch["mask"]),
             jnp.asarray(batch["image_hw"]),
             jnp.asarray(batch["obj_box"]),
             jnp.asarray(batch["mask_box"]),

@@ -154,9 +154,24 @@ class ConvTranspose(nn.Module):
     def __call__(self, x):
         kh, kw = _pair(self.kernel)
         in_ch = x.shape[-1]
+
+        # From-scratch init parity quirk: the reference's weights_init
+        # only re-initializes nn.Conv2d (ConvTranspose2d is NOT a
+        # subclass, ref :451-463), so its transposed convs keep torch's
+        # DEFAULT kaiming_uniform(a=sqrt(5)) with fan_in computed from
+        # the (in, out, kh, kw) layout => fan_in = out*kh*kw, giving
+        # W, b ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+        fan_in = self.features * kh * kw
+        bound = 1.0 / (fan_in ** 0.5)
+
+        def _torch_default_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(
+                key, shape, dtype, minval=-bound, maxval=bound
+            )
+
         kernel = self.param(
             "kernel",
-            kaiming_normal_init,
+            _torch_default_init,
             (kh, kw, in_ch, self.features),
             jnp.float32,
         )
@@ -172,7 +187,7 @@ class ConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                "bias", _torch_default_init, (self.features,), jnp.float32
             )
             y = y + bias.astype(self.dtype)
         return y

@@ -48,7 +48,7 @@ def nms(
     greater-than suppression).
     """
     n = boxes.shape[0]
-    k = max_outputs or n
+    k = n if max_outputs is None else max_outputs
     order = jnp.argsort(-scores, stable=True)
     sboxes = boxes[order]
     sscores = scores[order]
@@ -63,12 +63,16 @@ def nms(
 
     alive = jax.lax.fori_loop(0, n, body, alive0)
 
-    # top-k surviving, in score order (stable sort keeps order)
+    # top-k surviving, in score order (stable sort keeps order); pad
+    # with invalid entries when k > n so the static-shape contract holds
     rank = jnp.where(alive, jnp.arange(n), n + jnp.arange(n))
-    take = jnp.argsort(rank)[:k]
+    take = jnp.argsort(rank)
     valid = alive[take]
     indices = jnp.where(valid, order[take], -1)
-    return indices, valid
+    if k > n:
+        indices = jnp.pad(indices, (0, k - n), constant_values=-1)
+        valid = jnp.pad(valid, (0, k - n), constant_values=False)
+    return indices[:k], valid[:k]
 
 
 @partial(jax.jit, static_argnames=("max_outputs",))

@@ -45,10 +45,56 @@ class WarpParams(NamedTuple):
     """Per-sample output->source mapping ``src = (u+0.5)*scale - 0.5 + offset``.
 
     scale, offset: [..., 2] arrays ordered (y, x).
+    src_lo, src_hi: optional [..., 2] valid source interval per axis —
+    source pixels outside ``[lo, hi)`` contribute zero.  This encodes
+    the TRANSLATED-canvas boundary: the reference's centering translate
+    cuts content shifted off-canvas and fills black, so positions whose
+    translated coordinate leaves the canvas must read black even though
+    the source pixel exists (content-leak bug otherwise).
     """
 
     scale: jax.Array
     offset: jax.Array
+    src_lo: jax.Array | None = None
+    src_hi: jax.Array | None = None
+
+
+def center_translation(obj_box: jax.Array, image_hw: jax.Array):
+    """The reference's centering translation (ty, tx) — int() truncates
+    toward zero (reference train_instance.py:141-156)."""
+    h, w = image_hw[0], image_hw[1]
+    tx = jnp.trunc(w / 2.0 - (obj_box[0] + obj_box[2]) / 2.0)
+    ty = jnp.trunc(h / 2.0 - (obj_box[1] + obj_box[3]) / 2.0)
+    return ty, tx
+
+
+def clipped_mask_box(mask: jax.Array, ty_tx, image_hw: jax.Array):
+    """Tight bbox (source coords, exclusive upper) of the mask pixels
+    that SURVIVE the centering translation, plus a validity flag.
+
+    Matches the reference exactly: it recomputes ``mask2box`` on the
+    translated mask (train_instance.py:160-161), whose bbox equals the
+    bbox of source pixels with on-canvas translated coordinates.  A
+    plain ``clip(bbox + t)`` is wider for non-rectangular masks
+    partially pushed off-canvas.
+    """
+    ty, tx = ty_tx
+    h, w = image_hw[0], image_hw[1]
+    ch, cw = mask.shape[0], mask.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
+    on = (
+        (mask > 0)
+        & (xs + tx >= 0) & (xs + tx < w)
+        & (ys + ty >= 0) & (ys + ty < h)
+    )
+    valid = jnp.any(on)
+    big = jnp.float32(max(ch, cw))
+    x0 = jnp.min(jnp.where(on, xs, big))
+    y0 = jnp.min(jnp.where(on, ys, big))
+    x1 = jnp.max(jnp.where(on, xs, -1.0)) + 1.0
+    y1 = jnp.max(jnp.where(on, ys, -1.0)) + 1.0
+    return jnp.stack([x0, y0, x1, y1]), valid
 
 
 def instance_warp_params(
@@ -77,10 +123,7 @@ def instance_warp_params(
     Returns WarpParams mapping output pixels to original-image pixels.
     """
     h, w = image_hw[0], image_hw[1]
-    x0, y0, x1, y1 = obj_box[0], obj_box[1], obj_box[2], obj_box[3]
-    # int() in the reference truncates toward zero
-    tx = jnp.trunc(w / 2.0 - (x0 + x1) / 2.0)
-    ty = jnp.trunc(h / 2.0 - (y0 + y1) / 2.0)
+    ty, tx = center_translation(obj_box, image_hw)
 
     # translated & canvas-clipped instance box (== bbox of translated mask)
     mb = jnp.where(
@@ -109,10 +152,15 @@ def instance_warp_params(
     out_h, out_w = out_hw
     scale = jnp.stack([(wy1 - wy0) / out_h, (wx1 - wx0) / out_w])
     offset = jnp.stack([wy0 - ty, wx0 - tx])
-    return WarpParams(scale=scale, offset=offset)
+    # valid source interval: positions whose translated coordinate stays
+    # on-canvas (the reference's translate cuts everything else)
+    src_lo = jnp.stack([jnp.maximum(0.0, -ty), jnp.maximum(0.0, -tx)])
+    src_hi = jnp.stack([jnp.minimum(h, h - ty), jnp.minimum(w, w - tx)])
+    return WarpParams(scale=scale, offset=offset, src_lo=src_lo, src_hi=src_hi)
 
 
-def _axis_weights(scale, offset, in_size: int, out_size: int) -> jax.Array:
+def _axis_weights(scale, offset, in_size: int, out_size: int,
+                  lo=None, hi=None) -> jax.Array:
     """Bilinear (hat-kernel) sampling weights [out_size, in_size].
 
     Row u holds the interpolation weights of source pixels for output
@@ -120,12 +168,16 @@ def _axis_weights(scale, offset, in_size: int, out_size: int) -> jax.Array:
     out-of-canvas source positions simply don't exist, so boundary
     blends mix with an implicit zero — EXACTLY imgaug's constant black
     fill (no clamp, no renormalization).  Negative scales (flips) fall
-    out for free.
+    out for free.  ``lo``/``hi`` additionally zero source pixels outside
+    the valid interval (the translated-canvas cut).
     """
     u = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)
     grid = jax.lax.broadcasted_iota(jnp.float32, (1, in_size), 1)
     src = (u + 0.5) * scale - 0.5 + offset
-    return jnp.maximum(0.0, 1.0 - jnp.abs(src - grid))
+    weights = jnp.maximum(0.0, 1.0 - jnp.abs(src - grid))
+    if lo is not None:
+        weights = weights * ((grid >= lo) & (grid < hi)).astype(weights.dtype)
+    return weights
 
 
 def warp_image(
@@ -147,8 +199,10 @@ def warp_image(
         raise NotImplementedError("only bilinear warps are supported")
     out_h, out_w = out_hw
     h, w = image.shape[0], image.shape[1]
-    wy = _axis_weights(params.scale[0], params.offset[0], h, out_h)  # [oh, H]
-    wx = _axis_weights(params.scale[1], params.offset[1], w, out_w)  # [ow, W]
+    lo = (None, None) if params.src_lo is None else params.src_lo
+    hi = (None, None) if params.src_hi is None else params.src_hi
+    wy = _axis_weights(params.scale[0], params.offset[0], h, out_h, lo[0], hi[0])
+    wx = _axis_weights(params.scale[1], params.offset[1], w, out_w, lo[1], hi[1])
     tmp = jnp.einsum(
         "yh,hwc->ywc", wy, image, preferred_element_type=jnp.float32
     )
@@ -161,7 +215,11 @@ def warp_points(points_xy: jax.Array, params: WarpParams) -> jax.Array:
     """Map [K, 2] (x, y) source points into output coordinates.
 
     Uses the imgaug keypoint convention (plain ratio scaling without the
-    half-pixel shift): ``x' = (x - offset_x) / scale_x``.
+    half-pixel shift): ``x' = (x - offset_x) / scale_x``.  Requires
+    POSITIVE scales — the half-pixel terms this convention drops only
+    cancel then; flip augmentation must mirror points in output space
+    (``x' = (out_w - 1) - x``) rather than mapping through flipped
+    params (see data/pipeline.py).
     """
     sx = params.scale[1]
     sy = params.scale[0]
@@ -181,7 +239,10 @@ def flip_params_x(params: WarpParams, out_w: int) -> WarpParams:
     # src = (out_w-1-u+0.5)*s - 0.5 + off = (u+0.5)*(-s) - 0.5 + (off + out_w*s)
     scale = jnp.stack([params.scale[0], -params.scale[1]])
     offset = jnp.stack([params.offset[0], params.offset[1] + out_w * params.scale[1]])
-    return WarpParams(scale=scale, offset=offset)
+    return WarpParams(
+        scale=scale, offset=offset,
+        src_lo=params.src_lo, src_hi=params.src_hi,
+    )
 
 
 def warp_batch(
@@ -192,8 +253,14 @@ def warp_batch(
 ) -> jax.Array:
     """vmap of ``warp_image`` over a leading batch axis.
 
-    images [B, H, W, C]; params.scale/offset [B, 2] -> [B, out_h, out_w, C].
+    images [B, H, W, C]; params fields [B, 2] -> [B, out_h, out_w, C].
     """
-    return jax.vmap(lambda im, s, o: warp_image(im, WarpParams(s, o), out_hw, method))(
-        images, params.scale, params.offset
-    )
+    if params.src_lo is None:
+        return jax.vmap(
+            lambda im, s, o: warp_image(im, WarpParams(s, o), out_hw, method)
+        )(images, params.scale, params.offset)
+    return jax.vmap(
+        lambda im, s, o, lo, hi: warp_image(
+            im, WarpParams(s, o, lo, hi), out_hw, method
+        )
+    )(images, params.scale, params.offset, params.src_lo, params.src_hi)

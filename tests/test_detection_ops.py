@@ -185,3 +185,16 @@ def test_subsample_labels_quota():
     out = subsample_labels(labels, rng, batch_size=32, positive_fraction=0.25)
     assert int((out == POSITIVE).sum()) == 2
     assert int((out == NEGATIVE).sum()) == 30
+
+
+def test_nms_max_outputs_contract():
+    """Static-shape contract: k > n pads, k == 0 returns empty."""
+    boxes, scores = _nms_case(7, n=10)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_outputs=16)
+    assert idx.shape == (16,) and valid.shape == (16,)
+    golden = nms_numpy(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)], golden)
+    assert not np.asarray(valid)[len(golden):].any()
+
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_outputs=0)
+    assert idx.shape == (0,) and valid.shape == (0,)

@@ -233,3 +233,63 @@ def test_heatmap_batch_vmap_shape():
     vis = jnp.ones((4, 17), bool)
     out = jax.vmap(lambda p, v: render_heatmaps(p, v, (32, 32)))(pts, vis)
     assert out.shape == (4, 32, 32, 17)
+
+
+def test_no_content_leak_past_translated_canvas():
+    """Regression: positions whose TRANSLATED coordinate leaves the
+    canvas must read black even though the source pixel exists (the
+    reference's translate cuts them; review finding, confirmed repro)."""
+    w = 8
+    img = np.arange(w, dtype=np.float32).reshape(1, w, 1).repeat(8, axis=0)
+    # object at far left -> tx = +3; empty mask -> whole-canvas window
+    params = instance_warp_params(
+        jnp.asarray([0.0, 0.0, 2.0, 8.0]),
+        jnp.zeros((4,)),
+        jnp.asarray([8.0, 8.0]),
+        (8 + 32, 8 + 32),  # 1:1 scale window = canvas +/- 16
+        mask_valid=False,
+    )
+    out = np.asarray(warp_image(jnp.asarray(img), params, (40, 40)))[..., 0]
+    # translated coords x_t = src_x + 3; canvas holds x_t in [0,8) ->
+    # valid src in [0,5); src pixels 5..7 exist but must be black
+    ref = reference_chain(
+        img.repeat(3, axis=-1) if img.ndim == 3 else img, [0, 0, 2, 8],
+        np.zeros((8, 8), np.uint8), (40, 40),
+    )[0][..., 0] if False else None
+    # direct check: columns of the output that map to src >= 5 are zero
+    s = np.asarray(params.scale)
+    o = np.asarray(params.offset)
+    for u in range(40):
+        src_x = (u + 0.5) * s[1] - 0.5 + o[1]
+        if src_x > 4.6:  # fully inside the cut region
+            assert np.all(out[:, u] == 0.0), (u, src_x, out[:, u])
+
+
+def test_fused_matches_chain_nonrect_mask_near_edge():
+    """L-shaped mask partially pushed off-canvas: the fused warp must
+    reproduce the reference's recomputed (tight) translated-mask bbox,
+    not clip(bbox + t) (review finding)."""
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 255, size=(70, 70, 3)).astype(np.float32)
+    mask = np.zeros((70, 70), dtype=np.uint8)
+    mask[0:50, 0:11] = 255     # vertical bar
+    mask[0:12, 0:51] = 255     # top bar
+    # annotation box far right -> translation pushes mask left/off
+    obj_box = [30, 20, 69, 60]
+    out = (48, 48)
+    ref_img, ref_mask, _ = reference_chain(img, obj_box, mask, out)
+
+    from instancesegmentation_tpu.ops.warp import center_translation, clipped_mask_box
+
+    t = center_translation(jnp.asarray(obj_box, jnp.float32), jnp.asarray([70.0, 70.0]))
+    box, valid = clipped_mask_box(jnp.asarray(mask), t, jnp.asarray([70.0, 70.0]))
+    params = instance_warp_params(
+        jnp.asarray(obj_box, jnp.float32), box,
+        jnp.asarray([70.0, 70.0]), out, mask_valid=valid,
+    )
+    got_img = np.asarray(warp_image(jnp.asarray(img), params, out))
+    got_mask = np.asarray(
+        warp_image(jnp.asarray(mask[..., None], jnp.float32), params, out)
+    )[..., 0]
+    np.testing.assert_allclose(got_img[1:-1, 1:-1], ref_img[1:-1, 1:-1], atol=1e-2)
+    np.testing.assert_allclose(got_mask[1:-1, 1:-1], ref_mask[1:-1, 1:-1], atol=1e-2)
