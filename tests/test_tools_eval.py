@@ -56,3 +56,27 @@ def test_step_timer():
     assert t.tick() is None
     assert t.tick() is not None
     assert t.images_per_sec(8) > 0
+
+
+def test_committed_demo_checkpoint_quality():
+    """Quality regression guard: the committed demo checkpoint must keep
+    scoring on a regenerated copy of its held-out val set (same seed the
+    convergence run used); semantic drift in preprocessing/model breaks
+    this loudly."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "examples", "synthetic_demo.ckpt")
+    if not os.path.exists(ckpt):
+        pytest.skip("demo checkpoint not present")
+    import tempfile
+
+    from instancesegmentation_tpu.eval import evaluate_dataset
+
+    with tempfile.TemporaryDirectory() as d:
+        make_synthetic_dataset(d, num_images=8, objects_per_image=1, seed=200)
+        result = evaluate_dataset(
+            d, checkpoint=ckpt, size=256, batch_size=4,
+            in_channels=20, bfloat16=False,
+        )
+    assert result["mean_iou"] > 0.9, result
+    assert result["AP50"] == 1.0, result
