@@ -40,6 +40,7 @@ class TrainConfig:
     # checkpoint contract (reference §2.4)
     continue_train: bool = True
     syn_train: bool = False
+    checkpoint_backend: str = "file"   # "file" (atomic single-file) | "orbax"
     pretrained_path: Optional[str] = None
     checkpoint_save_path: Optional[str] = None
     save_iou_gate: float = 0.7     # save-best quality gate (ref :492)

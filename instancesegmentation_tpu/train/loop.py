@@ -80,9 +80,16 @@ class Trainer:
             self.shard_batch = lambda b: b
             self.batch_sharding = None
 
-        self.ckpt = BranchBestCheckpoint(
-            cfg.checkpoint_dir, explicit_path=cfg.checkpoint_save_path
-        )
+        if cfg.checkpoint_backend == "orbax":
+            from instancesegmentation_tpu.train.checkpoint_orbax import (
+                OrbaxBranchBestCheckpoint,
+            )
+
+            self.ckpt = OrbaxBranchBestCheckpoint(cfg.checkpoint_dir)
+        else:
+            self.ckpt = BranchBestCheckpoint(
+                cfg.checkpoint_dir, explicit_path=cfg.checkpoint_save_path
+            )
         self.logger = MetricLogger(cfg.out_dir)
         self.start_epoch = 0
         self.iou_max = 0.0

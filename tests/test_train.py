@@ -181,3 +181,21 @@ def test_syn_train_adoption(synth_dir, tmp_path):
     trainer.train()
     # adoption must have raised iou_max to the peer's best
     assert trainer.iou_max >= 0.42
+
+
+def test_trainer_with_orbax_backend(synth_dir, tmp_path):
+    cfg = _small_cfg(
+        synth_dir, str(tmp_path), epochs=1, val_iter=1000, show_iter=100,
+        checkpoint_backend="orbax",
+    )
+    trainer = Trainer(cfg)
+    trainer.train()
+    from instancesegmentation_tpu.train.checkpoint_orbax import (
+        OrbaxBranchBestCheckpoint,
+    )
+
+    ckpt = OrbaxBranchBestCheckpoint(cfg.checkpoint_dir)
+    assert ckpt.exists() and ckpt.best() is not None
+    # resume path through the orbax backend
+    trainer2 = Trainer(cfg)
+    assert trainer2.iou_max == pytest.approx(ckpt.best())
