@@ -198,3 +198,22 @@ def test_nms_max_outputs_contract():
 
     idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_outputs=0)
     assert idx.shape == (0,) and valid.shape == (0,)
+
+
+def test_fused_bottleneck_block_matches_reference():
+    from instancesegmentation_tpu.ops.fused_block import (
+        bottleneck3x3_fused,
+        bottleneck3x3_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    n, h, w, c, p = 2, 16, 16, 48, 16
+    mk = lambda *s: jnp.asarray((rng.normal(size=s) * 0.2).astype(np.float32))
+    x = mk(n, h, w, c)
+    args = (
+        x, mk(c, p), mk(p), jnp.full((p,), 0.25), mk(3, 3, p), mk(p),
+        jnp.full((p,), 0.25), mk(p, c), mk(c), jnp.full((c,), 0.25),
+    )
+    ref = np.asarray(bottleneck3x3_reference(*args))
+    got = np.asarray(bottleneck3x3_fused(*args, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
