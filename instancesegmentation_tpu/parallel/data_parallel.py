@@ -38,6 +38,7 @@ from instancesegmentation_tpu.train.steps import (
     augment_config,
     batch_mask_iou,
     bce_loss,
+    per_sample_mask_iou,
     _forward_inputs,
 )
 
@@ -108,15 +109,16 @@ def make_parallel_steps(model, tx, cfg, num_devices=None):
         inputs = _forward_inputs(cfg, images, heatmaps)
         logits = model.apply(variables, *inputs, train=False)
         probs = jax.nn.sigmoid(logits)
-        iou = jax.lax.pmean(batch_mask_iou(probs, masks), "data")
-        return probs, masks, iou
+        # per-sample IoUs come back batch-sharded (same signature as the
+        # single-device eval step); the caller averages after tail dedup
+        return images, probs, masks, per_sample_mask_iou(probs, masks)
 
     eval_step = jax.jit(
         shard_map(
             _eval_shard,
             mesh=mesh,
             in_specs=(P(), P("data")),
-            out_specs=(P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data"), P("data"), P("data")),
         )
     )
 

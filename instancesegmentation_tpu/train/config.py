@@ -59,6 +59,11 @@ class TrainConfig:
     # parallelism
     data_parallel: bool = False    # shard_map over all visible devices
 
+    # profiling (SURVEY.md §5 'tracing': jax.profiler traces +
+    # step-time counters; 0 = off)
+    profile_steps: int = 0         # trace N steady-state train steps
+                                   # into out_dir/profile
+
     # misc
     seed: int = 0
     num_threads: int = 8

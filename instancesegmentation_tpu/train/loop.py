@@ -121,32 +121,39 @@ class Trainer:
             return False
 
     def _validate(self, valset: InstanceCommonDataset, epoch: int, seed: int) -> float:
+        """Mean mask IoU over the FULL val set.
+
+        Unlike the reference (first-batch-only, ref :414-415) this walks
+        every batch; the incomplete tail batch is padded for static
+        shapes (``drop_last=False`` repeats the tail's first sample) and
+        the padded entries are dropped from the mean via the per-sample
+        IoU vector, so every val sample counts exactly once.
+        """
         cfg = self.cfg
-        ious = []
+        ious: list[float] = []
         cap = cfg.max_val_batches or None
         first = None
+        n_total = len(valset)
         for k, batch in enumerate(
             batch_iterator(
                 valset, cfg.batch_size, shuffle=True, seed=seed, epochs=1,
-                num_threads=cfg.num_threads,
+                drop_last=False, num_threads=cfg.num_threads,
             )
         ):
-            probs, masks, iou = self.eval_step(
+            images, probs, masks, iou_vec = self.eval_step(
                 self.state.variables, self.shard_batch(batch)
             )
-            ious.append(float(iou))
+            # padding repeats the tail's first sample at the END of the
+            # batch (pipeline.batch_iterator), so the valid prefix is
+            # whatever of the dataset remains at this batch index
+            valid = min(cfg.batch_size, n_total - k * cfg.batch_size)
+            ious.extend(np.asarray(iou_vec)[:valid].tolist())
             if first is None and cfg.log_images:
-                first = (batch, probs, masks)
+                first = (images, probs, masks)
             if cap and k + 1 >= cap:
                 break
         if first is not None:
-            batch, probs, masks = first
-            from instancesegmentation_tpu.data.pipeline import preprocess_batch
-            from instancesegmentation_tpu.train.steps import augment_config
-
-            images, _, _ = preprocess_batch(
-                batch, jax.random.PRNGKey(0), augment_config(cfg, train=False)
-            )
+            images, probs, masks = first
             dump_image_grid(
                 os.path.join(cfg.out_dir, "viz"),
                 f"val_e{epoch:03d}",
@@ -181,10 +188,18 @@ class Trainer:
         # device sync every iteration, killing dispatch pipelining
         host_step = int(self.state.step)
 
+        # --profile-steps N: capture a jax.profiler trace of N steady-
+        # state train steps (skipping the compile step) into
+        # out_dir/profile, viewable in TensorBoard/Perfetto
+        profile_started = False
+        profile_done = cfg.profile_steps <= 0
+        profile_dir = os.path.join(cfg.out_dir, "profile")
+
         while epoch < cfg.epochs:
             restarted = False
             losses = []
             t_start = time.time()
+            val_seconds = 0.0  # excluded from the reported img/s
             n_seen = 0
             # double-buffered host->HBM (pre-sharded over the mesh in DP)
             batches = device_prefetch(
@@ -196,6 +211,10 @@ class Trainer:
                 sharding=self.batch_sharding,
             )
             for i0, batch in enumerate(batches):
+                if not profile_done and not profile_started and i0 == 1:
+                    # step 0 paid the compile; trace steady-state steps
+                    jax.profiler.start_trace(profile_dir)
+                    profile_started = True
                 step_rng = jax.random.fold_in(rng, host_step)
                 self.state, metrics = self.train_step(
                     self.state, batch, step_rng
@@ -204,9 +223,17 @@ class Trainer:
                 losses.append(metrics["loss"])
                 n_seen += cfg.batch_size
 
+                if profile_started and not profile_done and i0 >= cfg.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profile_done = True
+                    print(f"profiler trace written to {profile_dir}")
+
                 if i0 % cfg.show_iter == cfg.show_iter - 1:
                     loss = float(jnp.mean(jnp.stack(losses)))
-                    ips = n_seen / (time.time() - t_start)
+                    # train-only rate: validation passes are excluded so
+                    # the metric is not deflated every val_iter steps
+                    ips = n_seen / max(time.time() - t_start - val_seconds, 1e-9)
                     print(
                         f" [epoch {epoch}] [{i0 * cfg.batch_size}/{len(trainset)}]"
                         f" [loss: {loss:.6f}] [{ips:.1f} img/s]"
@@ -218,7 +245,9 @@ class Trainer:
                     losses = []
 
                 if i0 % cfg.val_iter == 0:
+                    t_val = time.time()
                     val_iou = self._validate(valset, epoch, seed=cfg.seed + i0)
+                    val_seconds += time.time() - t_val
                     last_val = val_iou
                     print(
                         f"{self.ckpt.branch_name} [epoch {epoch}]"
@@ -276,6 +305,10 @@ class Trainer:
                 # (one device sync per restart, not per step)
                 host_step = int(self.state.step)
                 continue
+        if profile_started and not profile_done:
+            # training ended before profile_steps elapsed; close the trace
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
         self.logger.close()
         return last_val
 

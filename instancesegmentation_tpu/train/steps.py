@@ -35,16 +35,21 @@ def bce_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return optax.sigmoid_binary_cross_entropy(logits, targets).mean()
 
 
-def batch_mask_iou(probs: jax.Array, targets: jax.Array) -> jax.Array:
-    """Per-batch mean mask IoU in jnp (binarize at 0.5, empty-vs-empty
+def per_sample_mask_iou(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-sample mask IoU [B] in jnp (binarize at 0.5, empty-vs-empty
     counts as 1.0) — device-side replacement for the reference's
-    CPU-numpy mask_iou loop (ref :398-417)."""
+    CPU-numpy mask_iou loop (ref :398-417).  Returning the vector (not
+    the batch mean) lets the validator drop padded tail samples."""
     pred = probs > 0.5
     true = targets > 0.5
     inter = jnp.sum(pred & true, axis=(1, 2, 3))
     union = jnp.sum(pred | true, axis=(1, 2, 3))
-    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-    return iou.mean()
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+
+
+def batch_mask_iou(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Batch-mean mask IoU (see per_sample_mask_iou)."""
+    return per_sample_mask_iou(probs, targets).mean()
 
 
 def _forward_inputs(cfg, images, heatmaps):
@@ -94,7 +99,12 @@ def make_train_step(model, tx, cfg) -> Callable:
 def make_eval_step(model, cfg) -> Callable:
     """Build the jitted eval step.
 
-    eval_step(variables, batch) -> (probs [B,H,W,1], masks, mean IoU)
+    eval_step(variables, batch) ->
+        (images [B,H,W,3] in [-1,1], probs [B,H,W,1], masks, ious [B])
+
+    The preprocessed images come back so the trainer's viz grid does not
+    re-run the preprocess program; IoUs are per-sample so padded tail
+    batches can be deduplicated by the caller.
     """
     aug = augment_config(cfg, train=False)
 
@@ -106,6 +116,6 @@ def make_eval_step(model, cfg) -> Callable:
         inputs = _forward_inputs(cfg, images, heatmaps)
         logits = model.apply(variables, *inputs, train=False)
         probs = jax.nn.sigmoid(logits)
-        return probs, masks, batch_mask_iou(probs, masks)
+        return images, probs, masks, per_sample_mask_iou(probs, masks)
 
     return eval_step

