@@ -171,11 +171,35 @@ class InferenceEngine:
         return masks
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _bucket_size(b: int) -> int:
+        """Next power-of-2 batch bucket (>= 1).
+
+        Instance/proposal batches arrive with data-dependent sizes (the
+        number of surviving proposals); padding to a small set of fixed
+        buckets keeps the jit cache to O(log B) programs instead of one
+        40s-2min remote compile per distinct count (VERDICT r1 next#5).
+        """
+        return 1 << max(0, (b - 1).bit_length())
+
     def predict_instances(self, batch: dict):
         """Instance mode over a host batch (see data.pipeline.host_batch).
 
         Returns (crop_probs [B,S,S,1], canvas_masks uint8 [B,C,C]).
+        The batch is padded to a power-of-2 bucket (repeating row 0) so
+        varying batch sizes reuse a handful of compiled programs; padded
+        rows are sliced off the outputs.
         """
+        b = batch["image"].shape[0]
+        bucket = self._bucket_size(b)
+        if bucket != b:
+            pad = bucket - b
+
+            def _pad(a):
+                a = np.asarray(a)
+                return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+
+            batch = {k: _pad(v) for k, v in batch.items()}
         probs, back = self._forward_instance(
             self.variables,
             jnp.asarray(batch["image"]),
@@ -187,4 +211,4 @@ class InferenceEngine:
             jnp.asarray(batch["keypoints"]),
         )
         canvas_masks = (np.asarray(back[..., 0]) > self.threshold).astype(np.uint8) * 255
-        return np.asarray(probs), canvas_masks
+        return np.asarray(probs)[:b], canvas_masks[:b]

@@ -34,8 +34,11 @@ def segment_proposals(
 ) -> list[dict]:
     """Segment every surviving proposal of one image.
 
-    Returns a list of ``{"box", "score", "mask"}`` dicts; masks are
-    uint8 0/255 at the input image resolution.
+    Returns a list of ``{"box", "score", "mask_score", "mask"}`` dicts;
+    masks are uint8 0/255 at the input image resolution.  ``score`` is
+    the input proposal score; ``mask_score`` is the mean predicted
+    probability inside the predicted mask (a real segmentation
+    confidence for AP ranking, not a proxy).
     """
     import cv2
 
@@ -51,6 +54,15 @@ def segment_proposals(
     keep = np.asarray(idx)[np.asarray(valid)]
     if keep.size == 0:
         return []
+    n_survived = int(np.asarray(valid).sum())
+    if n_survived >= max_instances and boxes.shape[0] > max_instances:
+        # no silent caps: the NMS output slot budget may be clipping
+        # proposals that would otherwise survive
+        print(
+            f"segment_proposals: max_instances={max_instances} cap hit "
+            f"({boxes.shape[0]} proposals in); raise max_instances if "
+            "recall matters"
+        )
 
     h, w = image_rgb.shape[:2]
     scale = 1.0
@@ -75,17 +87,21 @@ def segment_proposals(
         "mask_valid": np.ones((b,), bool),
         "keypoints": np.zeros((b, 17, 3), np.float32),  # unconditioned
     }
-    _, canvas_masks = engine.predict_instances(batch)
+    crop_probs, canvas_masks = engine.predict_instances(batch)
 
     out = []
     for i, k in enumerate(keep):
         mask = canvas_masks[i, :eh, :ew]
         if scale != 1.0:
             mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
+        p = crop_probs[i, ..., 0]
+        fg = p > engine.threshold
+        mask_score = float(p[fg].mean()) if fg.any() else 0.0
         out.append(
             {
                 "box": boxes[k].tolist(),
                 "score": float(scores[k]),
+                "mask_score": mask_score,
                 "mask": mask,
             }
         )

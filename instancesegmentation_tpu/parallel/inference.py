@@ -56,10 +56,22 @@ class ParallelInferenceEngine:
         self._forward = forward
 
     def __call__(self, images_u8) -> jax.Array:
-        """images_u8 [B, S, S, 3] (B divisible by the mesh size) ->
-        probs [B, S, S, 1], batch-sharded across chips."""
+        """images_u8 [B, S, S, 3] -> probs [B, S, S, 1], batch-sharded
+        across chips.
+
+        Batches not divisible by the mesh size are zero-padded up to the
+        next multiple so every shard gets an equal slice (static shapes
+        for XLA); the padded rows are sliced off the result.
+        """
+        import numpy as np
+
+        images_u8 = np.asarray(images_u8)
         b = images_u8.shape[0]
-        if b % self.n:
-            raise ValueError(f"batch {b} not divisible by {self.n} devices")
+        pad = (-b) % self.n
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)]
+            )
         images = jax.device_put(jnp.asarray(images_u8), self._batch_sharding)
-        return self._forward(self.variables, images)
+        probs = self._forward(self.variables, images)
+        return probs[:b] if pad else probs

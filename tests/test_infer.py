@@ -139,3 +139,37 @@ def test_cli_proposal_mode(synth, tmp_path):
     assert rc == 0
     outs = os.listdir(out_dir)
     assert outs == [f"{name}_0.png"]  # duplicate suppressed by NMS
+
+
+def test_predict_instances_shape_bucketing(synth):
+    """Varying proposal/instance counts must reuse a handful of compiled
+    programs: counts 5..8 all pad to the 8-bucket (one compile), count 2
+    adds one more (VERDICT r1 next#5)."""
+    ds = InstanceCommonDataset(synth, canvas=192)
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    engine = InferenceEngine(variables, in_channels=3, size=SIZE, dtype=jnp.float32)
+
+    ref = None
+    for b in (5, 6, 7, 8):
+        batch = host_batch([ds.fetch(i % len(ds)) for i in range(b)])
+        probs, canvas_masks = engine.predict_instances(batch)
+        assert probs.shape == (b, SIZE, SIZE, 1)
+        assert canvas_masks.shape == (b, 192, 192)
+        if ref is None:
+            ref = probs[0]
+        # padding must not perturb real rows
+        np.testing.assert_allclose(probs[0], ref, atol=1e-5)
+    assert engine._forward_instance._cache_size() == 1, (
+        "counts 5..8 must share one 8-bucket program"
+    )
+
+    batch = host_batch([ds.fetch(0), ds.fetch(1)])
+    engine.predict_instances(batch)
+    assert engine._forward_instance._cache_size() == 2
+
+
+def test_bucket_size():
+    assert [InferenceEngine._bucket_size(b) for b in (1, 2, 3, 4, 5, 8, 9, 16)] == [
+        1, 2, 4, 4, 8, 8, 16, 16,
+    ]
