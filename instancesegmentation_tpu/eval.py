@@ -2,39 +2,40 @@
 
 Implements BASELINE.json config 3 ("OCHuman occluded-person eval via
 transfer_ochuman -> common JSON -> TPU inference, mask AP parity
-check"): run instance-mode inference over a common-format dataset and
-score predictions against the GT instance masks.
+check"), in two protocols:
+
+- per-crop (default): instance-mode inference per eligible object,
+  scored against the GT mask warped by the same transform — the
+  reference's own val protocol (train_instance.py:398-417) extended
+  with AP.  With one GT per crop this AP is a degenerate per-crop
+  accuracy; it is kept for reference parity.
+- ``--full-image``: real multi-instance mask AP (VERDICT r1 next#3).
+  Per image, every GT (or ``--proposals``-provided) box is segmented
+  through the proposal pipeline (NMS -> crop -> forward -> inverse
+  warp) and the full prediction set is scored against the image's full
+  GT instance set with a real confidence (mean in-mask probability).
 
 Usage:
   python -m instancesegmentation_tpu.eval --dataset DIR \
       [--checkpoint X.ckpt|X.pth] [--size 480] [--batch 8] \
-      [--in-channels 20] [--max-batches N] [--float32]
+      [--in-channels 20] [--max-batches N] [--float32] \
+      [--full-image] [--proposals boxes.json] [--nms-threshold T]
 
-Prints one JSON line: {"mean_iou", "AP", "AP50", "AP75", "num_instances"}.
+Prints one JSON line.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
 
-def evaluate_dataset(
-    dataset_dir: str,
-    checkpoint: str | None = None,
-    size: int = 480,
-    batch_size: int = 8,
-    in_channels: int = 20,
-    max_batches: int = 0,
-    bfloat16: bool = True,
-) -> dict:
+def _build_engine(checkpoint, size, in_channels, bfloat16, max_instances=16):
     import jax
     import jax.numpy as jnp
 
-    from instancesegmentation_tpu.core.evaluation import mask_ap, mean_mask_iou
-    from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
-    from instancesegmentation_tpu.data.pipeline import batch_iterator
     from instancesegmentation_tpu.infer.pipeline import (
         InferenceEngine,
         load_any_checkpoint,
@@ -51,8 +52,143 @@ def evaluate_dataset(
     )
     if checkpoint:
         variables = load_any_checkpoint(checkpoint, variables)
+    return InferenceEngine(
+        variables, in_channels=in_channels, size=size, dtype=dtype
+    )
 
-    engine = InferenceEngine(variables, in_channels=in_channels, size=size, dtype=dtype)
+
+def evaluate_full_image(
+    dataset_dir: str,
+    checkpoint: str | None = None,
+    size: int = 480,
+    in_channels: int = 20,
+    bfloat16: bool = True,
+    proposals_path: str | None = None,
+    nms_threshold: float = 0.9,
+    max_instances: int = 16,
+    max_images: int = 0,
+    canvas: int = 640,
+    _segment_fn=None,
+) -> dict:
+    """Full-image multi-instance mask AP over a common-format dataset.
+
+    Per image: GT boxes (or external proposals) -> proposal pipeline ->
+    predicted masks at image resolution, confidence = mean in-mask
+    probability -> COCO mask AP against the image's full GT instance
+    set.  This replaces the per-crop singleton AP, whose single-GT
+    matching collapses to crop accuracy (VERDICT r1 missing#2).
+
+    ``_segment_fn(image_rgb, boxes, scores) -> list[{"mask",
+    "mask_score"}]`` is injectable for tests; the default composes
+    infer.proposals.segment_proposals over a jitted engine.
+    """
+    import cv2
+
+    from instancesegmentation_tpu.core.evaluation import mask_ap
+    from instancesegmentation_tpu.core.keys import key_combine
+    from instancesegmentation_tpu.core.records import ROOT_KEY, common_ann_loader
+
+    if _segment_fn is None:
+        from instancesegmentation_tpu.infer.proposals import segment_proposals
+
+        engine = _build_engine(checkpoint, size, in_channels, bfloat16)
+
+        def _segment_fn(image_rgb, boxes, scores):
+            return segment_proposals(
+                engine, image_rgb, boxes, scores,
+                nms_threshold=nms_threshold,
+                max_instances=max_instances, canvas=canvas,
+            )
+
+    proposal_map = None
+    if proposals_path:
+        with open(proposals_path) as f:
+            proposal_map = json.load(f)
+
+    k_img = key_combine("image", "image_path")
+    k_objs = key_combine("object", "sub_list")
+    k_mask = key_combine("instance_mask", "mask_path")
+    k_box = key_combine("box", "box_xyxy")
+
+    preds: list[dict] = []
+    gts: list[list[np.ndarray]] = []
+    n_images = 0
+    for ann in common_ann_loader(dataset_dir):
+        if max_images and n_images >= max_images:
+            break
+        root = ann[ROOT_KEY]
+        gt_masks, gt_boxes = [], []
+        for obj in ann.get(k_objs, []):
+            rel = obj.get(k_mask)
+            if rel is None:
+                continue
+            m = cv2.imread(os.path.join(root, rel), cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                continue
+            gt_masks.append(m)
+            gt_boxes.append(obj.get(k_box))
+        if not gt_masks:
+            continue
+
+        img_path = os.path.join(root, ann[k_img])
+        name = os.path.splitext(os.path.basename(img_path))[0]
+        if proposal_map is not None:
+            entry = proposal_map.get(name) or proposal_map.get(
+                os.path.basename(img_path)
+            )
+            if not entry:
+                # no proposals for this image: score it with zero
+                # predictions (its GTs still count as misses)
+                preds.append({"masks": [], "scores": []})
+                gts.append(gt_masks)
+                n_images += 1
+                continue
+            boxes, scores = entry["boxes"], entry["scores"]
+        else:
+            boxes = [b for b in gt_boxes if b is not None]
+            scores = [1.0] * len(boxes)
+
+        img = cv2.cvtColor(
+            cv2.imread(img_path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
+        )
+        results = _segment_fn(img, boxes, scores)
+        preds.append(
+            {
+                "masks": [r["mask"] for r in results],
+                "scores": [r["mask_score"] for r in results],
+            }
+        )
+        gts.append(gt_masks)
+        n_images += 1
+
+    ap = mask_ap(preds, gts)
+    return {
+        "protocol": "full_image",
+        "AP": round(ap["AP"], 6),
+        "AP50": round(ap["AP50"], 6),
+        "AP75": round(ap["AP75"], 6),
+        "num_images": n_images,
+        "num_gt_instances": sum(len(g) for g in gts),
+        "num_predictions": sum(len(p["masks"]) for p in preds),
+    }
+
+
+def evaluate_dataset(
+    dataset_dir: str,
+    checkpoint: str | None = None,
+    size: int = 480,
+    batch_size: int = 8,
+    in_channels: int = 20,
+    max_batches: int = 0,
+    bfloat16: bool = True,
+) -> dict:
+    import jax
+
+    from instancesegmentation_tpu.core.evaluation import mask_ap, mean_mask_iou
+    from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+    from instancesegmentation_tpu.data.pipeline import batch_iterator
+
+    engine = _build_engine(checkpoint, size, in_channels, bfloat16)
     ds = InstanceCommonDataset(dataset_dir)
 
     # per-instance evaluation in the crop frame: prediction vs the GT
@@ -104,11 +240,31 @@ def main(argv=None) -> int:
     parser.add_argument("--in-channels", type=int, default=20)
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--float32", action="store_true")
+    parser.add_argument("--full-image", action="store_true",
+                        help="multi-instance mask AP per image via the "
+                             "proposal pipeline (GT boxes unless "
+                             "--proposals is given)")
+    parser.add_argument("--proposals", default=None,
+                        help="JSON {image_name: {boxes, scores}} for "
+                             "--full-image mode")
+    parser.add_argument("--nms-threshold", type=float, default=0.9)
+    parser.add_argument("--max-instances", type=int, default=16)
+    parser.add_argument("--max-images", type=int, default=0)
+    parser.add_argument("--canvas", type=int, default=640)
     args = parser.parse_args(argv)
-    result = evaluate_dataset(
-        args.dataset, args.checkpoint, args.size, args.batch,
-        args.in_channels, args.max_batches, bfloat16=not args.float32,
-    )
+    if args.full_image:
+        result = evaluate_full_image(
+            args.dataset, args.checkpoint, args.size, args.in_channels,
+            bfloat16=not args.float32, proposals_path=args.proposals,
+            nms_threshold=args.nms_threshold,
+            max_instances=args.max_instances, max_images=args.max_images,
+            canvas=args.canvas,
+        )
+    else:
+        result = evaluate_dataset(
+            args.dataset, args.checkpoint, args.size, args.batch,
+            args.in_channels, args.max_batches, bfloat16=not args.float32,
+        )
     print(json.dumps(result))
     return 0
 

@@ -80,3 +80,72 @@ def test_committed_demo_checkpoint_quality():
         )
     assert result["mean_iou"] > 0.9, result
     assert result["AP50"] == 1.0, result
+
+
+def _ellipse_from_box(shape_hw, box):
+    """The synthetic generator's exact instance mask (ellipse inscribed
+    in the box with a 2px margin, data/synthetic.py)."""
+    import cv2
+    import numpy as np
+
+    m = np.zeros(shape_hw, np.uint8)
+    x0, y0, x1, y1 = [int(v) for v in box]
+    bw, bh = x1 - x0, y1 - y0
+    cv2.ellipse(
+        m, (x0 + bw // 2, y0 + bh // 2), (bw // 2 - 2, bh // 2 - 2),
+        0, 0, 360, 255, -1,
+    )
+    return m
+
+
+def test_full_image_ap_perfect_and_degraded(tmp_path):
+    """Full-image multi-instance AP (VERDICT r1 next#3): perfect
+    predictions score AP 1.0 over a multi-object set; a known-bad
+    prediction measurably drops AP."""
+    import numpy as np
+
+    from instancesegmentation_tpu.eval import evaluate_full_image
+
+    d = str(tmp_path / "multi")
+    make_synthetic_dataset(d, num_images=3, objects_per_image=3, seed=31)
+
+    def perfect(image, boxes, scores):
+        return [
+            {"mask": _ellipse_from_box(image.shape[:2], b), "mask_score": 0.9}
+            for b in boxes
+        ]
+
+    res = evaluate_full_image(d, _segment_fn=perfect)
+    assert res["num_images"] == 3
+    assert res["num_gt_instances"] == 9
+    assert res["num_predictions"] == 9
+    assert res["AP"] == pytest.approx(1.0)
+
+    def one_bad(image, boxes, scores):
+        out = perfect(image, boxes, scores)
+        # top-scored garbage: an empty mask outranking every real one
+        out[0]["mask"] = np.zeros(image.shape[:2], np.uint8)
+        out[0]["mask_score"] = 0.99
+        return out
+
+    res_bad = evaluate_full_image(d, _segment_fn=one_bad)
+    assert res_bad["AP"] < res["AP"] - 0.05, (res_bad, res)
+
+
+def test_full_image_eval_real_engine_and_cli(tmp_path, capsys):
+    """Mechanics through the real proposal pipeline + the --full-image
+    CLI flag (untrained net: only ranges and counts are asserted)."""
+    from instancesegmentation_tpu.eval import main
+
+    d = str(tmp_path / "multi2")
+    make_synthetic_dataset(d, num_images=2, objects_per_image=2, seed=33)
+    rc = main([
+        "--dataset", d, "--full-image", "--size", "64", "--in-channels", "3",
+        "--float32", "--canvas", "320",
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["protocol"] == "full_image"
+    assert result["num_images"] == 2
+    assert result["num_gt_instances"] == 4
+    assert 0.0 <= result["AP"] <= 1.0
