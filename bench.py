@@ -2,11 +2,14 @@
 flagship conditioned-instance pipeline rate.
 
 Line 2 (LAST, the driver-parsed headline) measures the fused
-whole-image inference program (device-side normalize + Segment forward
-+ sigmoid) at batch 128, bf16 compute, on the attached TPU chip (batch
-sweep: 32 -> 3.9k, 64 -> 6.4k, 128 -> 12.6k, 256 -> 10.2k img/s;
-per-op launch overhead of this 60-conv small-channel net amortizes
-with batch until HBM pressure bites).
+whole-image serving program (device-side bf16 normalize + truncated
+Segment forward + algebraically folded section-6 head
+(models/fused_head.py) + sigmoid) at batch 128, bf16 compute, on the
+attached TPU chip.  Measured r2: 15,600 img/s (was 12,262 in r1; the
+delta is pure HBM-traffic reduction — ROOFLINE.md).  Pre-fold batch
+sweep: 32 -> 3.8k, 64 -> 6.5k, 128 -> 12.2k, 256 -> 10.6k img/s; the
+net is memory-bound and the 256 regression is an XLA re-tiling effect
+(ROOFLINE.md conclusion 3).
 
 Line 1 measures what training/eval actually run per instance (VERDICT
 r1 weak#3): the FULL fused instance program — on-device crop-warp from
@@ -77,6 +80,8 @@ def flagship_instance_metric() -> dict:
     )
     from instancesegmentation_tpu.models.segment import Segment
 
+    from instancesegmentation_tpu.models.fused_head import fold_head, head_apply
+
     b, canvas, out = FLAG_BATCH, FLAG_CANVAS, FLAG_OUT
     model = Segment(in_channels=20, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -85,6 +90,7 @@ def flagship_instance_metric() -> dict:
         jnp.zeros((1, out, out, 17)),
         train=False,
     )
+    head = fold_head(variables["params"])
     aug = AugmentConfig(out_size=(out, out))
 
     rng = np.random.default_rng(1)
@@ -112,8 +118,11 @@ def flagship_instance_metric() -> dict:
             images, heatmaps, _ = preprocess_batch(
                 dict(batch, image=img), jax.random.PRNGKey(0), aug
             )
+            feats = model.apply(
+                variables, images, heatmaps, train=False, truncate_head=True
+            )
             probs = jax.nn.sigmoid(
-                model.apply(variables, images, heatmaps, train=False)
+                head_apply(feats, head, dtype=jnp.bfloat16)
             )
             acc = acc + jnp.sum(probs)
             bump = (probs[:, :1, :1, 0] > 0.5).astype(jnp.uint8)
@@ -136,16 +145,23 @@ def flagship_instance_metric() -> dict:
 
 
 def main() -> None:
+    from instancesegmentation_tpu.models.fused_head import fold_head, head_apply
     from instancesegmentation_tpu.models.segment import Segment
 
     model = Segment(in_channels=3, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
     )
+    head = fold_head(variables["params"])
 
     def forward(images_u8):
-        x = images_u8.astype(jnp.float32) / 127.5 - 1.0
-        return jax.nn.sigmoid(model.apply(variables, x, train=False))
+        # serving path (r2): bf16 normalize, truncated backbone, folded
+        # section-6 head (models/fused_head.py), bf16 sigmoid — same
+        # math as apply(...)+sigmoid, ~7 MB/img less HBM traffic
+        # (ROOFLINE.md)
+        x = images_u8.astype(jnp.bfloat16) * jnp.bfloat16(1 / 127.5) - 1.0
+        feats = model.apply(variables, x, train=False, truncate_head=True)
+        return jax.nn.sigmoid(head_apply(feats, head, dtype=jnp.bfloat16))
 
     @jax.jit
     def bench_loop(images_u8):

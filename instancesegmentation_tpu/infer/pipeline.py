@@ -74,18 +74,37 @@ class InferenceEngine:
         self.threshold = threshold
         self.in_channels = in_channels
 
+        def _apply_model(variables, x, hm=None):
+            """Backbone + algebraically folded section-6 head
+            (models/fused_head.py): same f32-logit math as
+            ``model.apply``, minus the [4H,4W,4] HBM intermediate.
+            The fold runs inside the jitted program (pure ops on the
+            param leaves, negligible next to the forward)."""
+            from instancesegmentation_tpu.models.fused_head import (
+                fold_head,
+                head_apply,
+            )
+
+            feats = self.model.apply(
+                variables, x, hm, train=False, truncate_head=True
+            )
+            head = fold_head(variables["params"])
+            return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
+
         @jax.jit
         def _forward_whole(variables, images_u8):
-            x = images_u8.astype(jnp.float32) / 127.5 - 1.0
+            # normalize in the compute dtype (bf16 serving): u8 values
+            # are exact in bf16, so this only re-rounds the affine
+            x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
             if self.in_channels > 3:
                 # no keypoints in whole-image mode: condition on all-zero
                 # heatmaps (exactly what the training pipeline renders
                 # when no keypoint is visible), so a conditioned
                 # checkpoint still serves plain images
                 hm = jnp.zeros(x.shape[:3] + (self.in_channels - 3,), x.dtype)
-                logits = self.model.apply(variables, x, hm, train=False)
+                logits = _apply_model(variables, x, hm)
             else:
-                logits = self.model.apply(variables, x, train=False)
+                logits = _apply_model(variables, x)
             return jax.nn.sigmoid(logits)
 
         @jax.jit
@@ -136,7 +155,7 @@ class InferenceEngine:
                 hm = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
             else:
                 hm = None
-            logits = self.model.apply(variables, x, hm, train=False)
+            logits = _apply_model(variables, x, hm)
             probs = jax.nn.sigmoid(logits)
             # inverse warp back into the canvas frame
             inv_scale = 1.0 / params.scale

@@ -414,6 +414,15 @@ class BottleneckUpRes(nn.Module):
             f"skip width mismatch: {merged.shape[-1]} != "
             f"{self.outplanes}+{self.skip_channels}"
         )
-        merged = upsample_nearest_2x(merged)
+        # conv-before-upsample: a 1x1 conv is pointwise, so it commutes
+        # exactly with nearest-neighbor replication (same value per
+        # pixel, bit-identical) — but runs on 4x fewer pixels and lets
+        # XLA fuse the repeat into the elementwise add+relu consumer
+        # instead of materializing the upsampled 35/96-channel concat
+        # for a conv input (measured: the two jnp.repeat broadcasts
+        # were among the largest HBM buffers in the whole net, see
+        # ROOFLINE.md).  Semantics equal to the reference's
+        # upsample-then-conv (ref :321-331).
         shortcut = RawConv(self.outplanes, 1, dtype=self.dtype, name="uppool_conv")(merged)
+        shortcut = upsample_nearest_2x(shortcut)
         return nn.relu(y + shortcut)

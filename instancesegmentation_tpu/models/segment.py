@@ -61,7 +61,13 @@ class Segment(nn.Module):
     # s3: cat 256 -> 128 at /16; s4: 48 at /8; s5: 16 at /4; s6: 1 at /1.
 
     @nn.compact
-    def __call__(self, images, heatmaps=None, train: bool = False):
+    def __call__(
+        self,
+        images,
+        heatmaps=None,
+        train: bool = False,
+        truncate_head: bool = False,
+    ):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
         if heatmaps is not None:
@@ -118,6 +124,16 @@ class Segment(nn.Module):
             4, 16, skip_channels=init_dim, name="bottle5_1up", **kw
         )(b4_3, b1_pool, train)
         b5_2 = BottleneckDim(4, 16, use_prelu=False, name="bottle5_2", **kw)(b5_1, train)
+
+        if truncate_head:
+            # serving fast path: stop at the 16-ch /4 feature map; the
+            # caller applies the algebraically folded section-6 head
+            # (models/fused_head.py) which removes the [4H,4W,4]
+            # intermediate — the largest activation in the net — from
+            # HBM.  Always initialize with truncate_head=False so the
+            # bottle6_* params exist (flax only allocates params of
+            # modules that are called).
+            return b5_2
 
         # section 6 (ref :435-438, :504-505): /1, 1ch logits
         y = ConvTranspose(4, 8, stride=4, padding=2, dtype=self.dtype, name="bottle6_1")(b5_2)

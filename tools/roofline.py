@@ -1,0 +1,258 @@
+"""Roofline analysis of the Segment inference program on the attached TPU.
+
+VERDICT r1 weak#1: the 12.2k img/s headline is 1,477x the CPU anchor but
+only ~9% MFU, and nothing established whether that is the chip's
+memory-bandwidth roofline for this depthwise-heavy 16-48-channel net or
+leftover overhead.  This tool answers that with data:
+
+  per batch size B in --batches:
+    * compile the SINGLE-CALL fused forward (u8 normalize + Segment +
+      sigmoid) and pull XLA's post-fusion ``cost_analysis()`` — FLOPs
+      and "bytes accessed" are the compiler's own accounting of HBM
+      traffic after all fusion decisions;
+    * time the chained ``fori_loop`` program (bench.py methodology: one
+      dispatch, data-dependent iterations, one scalar readback — the
+      only timing the axon tunnel cannot lie about, CLAUDE.md);
+    * report achieved img/s against BOTH roofline ceilings:
+        compute ceiling = PEAK_FLOPS / flops_per_img
+        memory  ceiling = HBM_BW    / bytes_per_img
+      and the fraction of the *binding* (lower) ceiling achieved.
+
+Run on the real chip: ``python tools/roofline.py --json ROOFLINE.json``.
+TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
+HBM_BW = 819e9            # TPU v5e per-chip HBM bandwidth, bytes/s
+SIZE = 512
+ITERS = 30
+
+
+def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
+    """Whole-image forward.  ``fused=False`` is the r1 serving program
+    (f32 normalize + full Segment); ``fused=True`` is the r2 one (bf16
+    normalize + truncated backbone + folded head, bench.py:154)."""
+    from instancesegmentation_tpu.models.segment import Segment
+
+    model = Segment(in_channels=3, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+    )
+    if fused:
+        from instancesegmentation_tpu.models.fused_head import (
+            fold_head,
+            head_apply,
+        )
+
+        head = fold_head(variables["params"])
+
+        def forward(images_u8):
+            x = images_u8.astype(jnp.bfloat16) * jnp.bfloat16(1 / 127.5) - 1.0
+            feats = model.apply(variables, x, train=False, truncate_head=True)
+            return jax.nn.sigmoid(head_apply(feats, head, dtype=jnp.bfloat16))
+
+    else:
+
+        def forward(images_u8):
+            x = images_u8.astype(jnp.float32) / 127.5 - 1.0
+            return jax.nn.sigmoid(model.apply(variables, x, train=False))
+
+    @jax.jit
+    def single(images_u8):
+        return forward(images_u8)
+
+    @jax.jit
+    def bench_loop(images_u8):
+        def body(i, carry):
+            acc, img = carry
+            probs = forward(img)
+            acc = acc + jnp.sum(probs)
+            bump = (probs[:, :1, :1, 0] > 0.5).astype(jnp.uint8)
+            img = img.at[:, :1, :1, 0].add(bump)
+            return acc, img
+
+        acc, _ = jax.lax.fori_loop(
+            0, ITERS, body, (jnp.zeros((), jnp.float32), images_u8)
+        )
+        return acc
+
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(
+        jnp.asarray(
+            rng.integers(0, 255, size=(batch_size, size, size, 3), dtype=np.uint8)
+        )
+    )
+    return single, bench_loop, (batch,)
+
+
+def build_train(batch_size: int, size: int = 480, canvas: int = 640):
+    """Full training step: fused device preprocess (crop-warp + 17-ch
+    heatmap render) + conditioned fwd/bwd + Adam update, single chip —
+    exactly the program Trainer dispatches per step (train/steps.py).
+    The loop threads the donated TrainState through iterations, so XLA
+    cannot hoist or dedupe the step body."""
+    import optax
+
+    from instancesegmentation_tpu.models.segment import Segment
+    from instancesegmentation_tpu.train.config import TrainConfig
+    from instancesegmentation_tpu.train.state import TrainState
+    from instancesegmentation_tpu.train.steps import make_train_step
+
+    cfg = TrainConfig(
+        canvas=canvas,
+        out_size=size,
+        in_channels=20,
+        bfloat16=True,
+        batch_size=batch_size,
+        flip_prob=0.5,
+        jitter=0.1,
+    )
+    model = Segment(in_channels=20, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, size, size, 17)),
+        train=False,
+    )
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, cfg)  # the REAL jitted step
+
+    single = train_step
+
+    @jax.jit
+    def bench_loop(state, batch, rng):
+        def body(i, carry):
+            state, rng, acc = carry
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            return state, rng, acc + metrics["loss"]
+
+        _, _, acc = jax.lax.fori_loop(
+            0, ITERS, body, (state, rng, jnp.zeros((), jnp.float32))
+        )
+        return acc
+
+    rng = np.random.default_rng(1)
+    b = batch_size
+    host = {
+        "image": rng.integers(0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8),
+        "mask": (rng.random((b, canvas, canvas)) > 0.7).astype(np.uint8) * 255,
+        "image_hw": np.full((b, 2), canvas, np.float32),
+        "obj_box": np.tile(np.asarray([40, 40, 560, 600], np.float32), (b, 1)),
+        "mask_box": np.tile(np.asarray([60, 60, 540, 580], np.float32), (b, 1)),
+        "mask_valid": np.ones((b,), bool),
+        "keypoints": np.concatenate(
+            [
+                rng.uniform(60, 540, size=(b, 17, 2)).astype(np.float32),
+                np.ones((b, 17, 1), np.float32),
+            ],
+            axis=-1,
+        ),
+    }
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in host.items()}
+    return single, bench_loop, (state, batch, jax.random.PRNGKey(0))
+
+
+def analyze(
+    batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer"
+) -> dict:
+    if mode == "train":
+        single, bench_loop, args = build_train(batch_size, size)
+    else:
+        single, bench_loop, args = build_infer(
+            batch_size, size, fused=(mode == "infer_fused")
+        )
+
+    cost = jax.jit(single).lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    bytes_acc = float(cost.get("bytes accessed", 0.0))
+
+    # warm (first value-forced call pays the real remote compile,
+    # CLAUDE.md), then best-of-N timed runs
+    float(bench_loop(*args))
+    best = np.inf
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        checksum = float(bench_loop(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(checksum)
+
+    ips = batch_size * ITERS / best
+    flops_img = flops / batch_size
+    bytes_img = bytes_acc / batch_size
+    compute_ceiling = PEAK_BF16_FLOPS / flops_img
+    memory_ceiling = HBM_BW / bytes_img
+    binding = min(compute_ceiling, memory_ceiling)
+    return {
+        "mode": mode,
+        "batch": batch_size,
+        "img_per_sec": round(ips, 1),
+        "gflop_per_img": round(flops_img / 1e9, 3),
+        "mb_per_img": round(bytes_img / 1e6, 2),
+        "mfu_pct": round(100 * ips * flops_img / PEAK_BF16_FLOPS, 2),
+        "hbm_util_pct": round(100 * ips * bytes_img / HBM_BW, 1),
+        "compute_ceiling_ips": round(compute_ceiling, 0),
+        "memory_ceiling_ips": round(memory_ceiling, 0),
+        "bound": "memory" if memory_ceiling < compute_ceiling else "compute",
+        "pct_of_roofline": round(100 * ips / binding, 1),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--batches", type=int, nargs="+", default=[32, 64, 128, 256])
+    p.add_argument("--size", type=int, default=SIZE)
+    p.add_argument("--trials", type=int, default=3)
+    p.add_argument(
+        "--mode",
+        choices=["infer", "infer_fused", "train"],
+        default="infer",
+        help="infer: r1 serving program; infer_fused: r2 folded-head "
+        "serving program; train: full fused train step (preprocess + "
+        "conditioned fwd/bwd + Adam) at the 480^2 training shape — "
+        "pass --size 480 with it",
+    )
+    p.add_argument("--json", type=str, default=None, help="write results here")
+    args = p.parse_args()
+
+    rows = []
+    for b in args.batches:
+        r = analyze(b, args.size, args.trials, args.mode)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "device": str(jax.devices()[0]),
+                    "peak_bf16_flops": PEAK_BF16_FLOPS,
+                    "hbm_bw_bytes_per_sec": HBM_BW,
+                    "size": args.size,
+                    "iters_per_timing": ITERS,
+                    "rows": rows,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
