@@ -1,0 +1,92 @@
+"""Multi-host (multi-process) initialization for data parallelism.
+
+SURVEY.md §2.5 / VERDICT r1 missing#5: a single v5e-8 host needs no
+``jax.distributed``, but scaling DP past one host (v5e-16+, or multi
+-host CPU testing) requires every process to join a coordination
+service before any backend init, so that ``jax.devices()`` is the
+GLOBAL device list and ``shard_map`` collectives ride ICI/DCN across
+hosts.  This module is the single entry point for that:
+
+    from instancesegmentation_tpu.parallel import multihost
+    multihost.initialize(coordinator="10.0.0.1:8476",
+                         num_processes=2, process_id=0)
+
+The existing mesh/DP layer then works unchanged — ``make_mesh`` already
+builds from ``jax.devices()`` (global), per-process input sharding is
+handled by ``local_batch_slice`` below, and parameter updates stay
+replicated because every process applies identical pmean-ed gradients.
+
+On TPU pods the three arguments are inferred from the environment
+(``initialize()`` with no args); explicit args are for CPU/GPU clusters
+and tests (tests/test_multihost.py spawns two CPU processes and psums
+across them).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def initialize(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the jax distributed service (idempotent).
+
+    Must run before any jax backend/device query in the process.  With
+    all-None arguments on TPU pod slices, jax infers the topology from
+    the runtime environment; otherwise pass all three explicitly
+    (the coordinator is ``host:port`` of process 0).
+    """
+    global _initialized
+    if _initialized:
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) — (0, 1) when not distributed."""
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The half-open row range of the GLOBAL batch this process feeds.
+
+    Each process's data loader materializes only its slice; together
+    with ``jax.make_array_from_process_local_data`` (or the DP layer's
+    per-shard ``device_put``) this gives loader-side sharding with no
+    cross-host data motion.
+    """
+    idx, count = process_info()
+    if global_batch % count:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{count} processes"
+        )
+    per = global_batch // count
+    return slice(idx * per, (idx + 1) * per)
+
+
+def global_array_from_local(local, mesh, pspec):
+    """Assemble a global sharded jax.Array from per-process local rows.
+
+    Thin wrapper over ``jax.make_array_from_process_local_data`` so the
+    trainer has one call that works single- and multi-process.
+    """
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, pspec)
+    return jax.make_array_from_process_local_data(sharding, local)
