@@ -63,6 +63,14 @@ class AugmentConfig:
     brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
     contrast: float = 0.0          # linear contrast range +-
     noise_std: float = 0.0         # additive gaussian noise std (0..255)
+    out_dtype: object = None       # images/heatmaps output dtype; None =
+                                   # float32.  Pass the model compute
+                                   # dtype (bf16) so XLA fuses the cast
+                                   # into the warp/render producers and
+                                   # the pipeline's largest tensors
+                                   # ([oh,ow,17] heatmaps) are written
+                                   # to HBM at half width.  Geometry and
+                                   # the loss-target masks stay f32.
 
 
 def host_batch(samples: list[Sample]) -> dict:
@@ -186,6 +194,14 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
 
     heatmaps = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
 
+    if cfg.out_dtype is not None:
+        # model inputs only: the first conv casts to the compute dtype
+        # anyway (flax promotes inputs to module dtype), so rounding
+        # here is value-identical to rounding there — but the tensors
+        # cross HBM at half width.  Masks are BCE targets and keep f32.
+        images = images.astype(cfg.out_dtype)
+        heatmaps = heatmaps.astype(cfg.out_dtype)
+
     return images, heatmaps, masks
 
 
@@ -195,15 +211,27 @@ def device_prefetch(iterator: Iterator[dict], depth: int = 2, sharding=None) -> 
 
     ``jax.device_put`` is async, so while the train step computes batch
     n the transfer of batch n+1 proceeds; pass a NamedSharding to land
-    batches pre-sharded across a mesh.
+    batches pre-sharded across a mesh.  Under multi-host DP each host's
+    iterator carries only its local rows; they are assembled into global
+    arrays with ``jax.make_array_from_process_local_data`` (no
+    cross-host data motion — every host feeds its own devices).
     """
     import collections
 
-    put = (
-        (lambda b: jax.device_put(b, sharding))
-        if sharding is not None
-        else jax.device_put
-    )
+    if sharding is not None and jax.process_count() > 1:
+
+        def put(b):
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)
+                )
+                for k, v in b.items()
+            }
+
+    elif sharding is not None:
+        put = lambda b: jax.device_put(b, sharding)
+    else:
+        put = jax.device_put
     queue_: collections.deque = collections.deque()
     for item in iterator:
         queue_.append(put(item))
@@ -222,12 +250,20 @@ def batch_iterator(
     drop_last: bool = True,
     num_threads: int = 8,
     prefetch: int = 2,
+    local_slice: Optional[slice] = None,
 ) -> Iterator[dict]:
     """Yield host batch dicts with threaded decode and background prefetch.
 
     ``epochs=None`` streams forever.  Incomplete tail batches are
     dropped when ``drop_last`` (static shapes for XLA) else padded by
     repeating the first sample.
+
+    ``local_slice`` (multi-host DP, parallel/multihost.local_batch_slice):
+    every process derives the identical global batch order from ``seed``,
+    then decodes and yields ONLY its row range of each global batch —
+    loader-side sharding with no duplicated decode work.  Tail padding is
+    applied to the global batch before slicing, so the global row layout
+    (pad rows at the END) is identical to the single-process case.
     """
     rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=num_threads)
@@ -269,6 +305,8 @@ def batch_iterator(
                     idxs = np.concatenate(
                         [idxs, np.repeat(idxs[:1], batch_size - len(idxs))]
                     )
+                if local_slice is not None:
+                    idxs = idxs[local_slice]
                 if not try_put(host_batch(list(pool.map(dataset.fetch, idxs)))):
                     return
         finally:

@@ -59,6 +59,18 @@ def make_parallel_steps(model, tx, cfg, num_devices=None):
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def shard_batch(batch: dict):
+        # multi-host: `batch` holds only this process's local rows
+        # (loader-side sharding, multihost.local_batch_slice); assemble
+        # the global array without cross-host transfer
+        if jax.process_count() > 1:
+            import numpy as np
+
+            return {
+                k: jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(v)
+                )
+                for k, v in batch.items()
+            }
         return jax.device_put(batch, batch_sharding)
 
     def _train_shard(state: TrainState, batch: dict, rng: jax.Array):

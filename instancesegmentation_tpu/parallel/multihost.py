@@ -80,6 +80,56 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(idx * per, (idx + 1) * per)
 
 
+def host_local_rows(arr):
+    """This process's rows of a batch-sharded global ``jax.Array`` as
+    one numpy array (shards concatenated in global row order).
+
+    ``np.asarray`` on a non-fully-addressable array raises; the trainer
+    uses this to read its slice of per-sample eval outputs (iou vector,
+    viz tensors) without any cross-host traffic.
+    """
+    import numpy as np
+
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def sum_across_processes(values):
+    """Element-wise sum of a small 1-D float vector over all processes
+    (identity when single-process).  Used for global metric reductions
+    (e.g. val-IoU sum/count) outside any jitted program."""
+    import numpy as np
+
+    vec = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return vec
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(vec)  # [P, N]
+    return np.asarray(gathered).sum(axis=0)
+
+
+def broadcast_from_main(values):
+    """Process 0's copy of a small 1-D float vector, on every process
+    (identity when single-process).
+
+    The trainer broadcasts checkpoint-state observations (exists/best)
+    so the restart/adoption/save control flow — which gates COLLECTIVE
+    step calls — takes the same branch everywhere even if the shared
+    checkpoint file is mid-write on some host.
+    """
+    import numpy as np
+
+    vec = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return vec
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(vec))[0]
+
+
 def global_array_from_local(local, mesh, pspec):
     """Assemble a global sharded jax.Array from per-process local rows.
 

@@ -58,11 +58,28 @@ class TrainConfig:
 
     # parallelism
     data_parallel: bool = False    # shard_map over all visible devices
+    # multi-host DP (parallel/multihost.py): join jax.distributed before
+    # backend init so jax.devices() is the GLOBAL device list and the
+    # 'data' mesh spans hosts.  batch_size stays the GLOBAL batch; each
+    # process loads only its local_batch_slice.  Empty/negative values
+    # mean "infer from the TPU-pod environment".
+    multihost: bool = False
+    coordinator: str = ""          # host:port of process 0
+    num_processes: int = 0
+    process_id: int = -1
 
     # profiling (SURVEY.md §5 'tracing': jax.profiler traces +
     # step-time counters; 0 = off)
     profile_steps: int = 0         # trace N steady-state train steps
                                    # into out_dir/profile
+
+    # input pipeline
+    # "threads": pipeline.batch_iterator (threaded decode + prefetch);
+    # "grain": data/grain_loader.py — grain DataLoader with
+    # process-parallel decode workers (train stream only; validation
+    # always uses the padded-tail threaded protocol)
+    loader: str = "threads"
+    grain_workers: int = 0         # decode worker processes (0 = in-proc)
 
     # misc
     seed: int = 0

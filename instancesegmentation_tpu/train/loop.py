@@ -39,6 +39,24 @@ from instancesegmentation_tpu.train.steps import make_eval_step, make_train_step
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
+        # multi-host DP (parallel/multihost.py): initialize() must have
+        # been called by the entry point BEFORE this constructor touches
+        # a jax backend.  batch_size is the GLOBAL batch; this process
+        # loads only its local row range.  The checkpoint_dir must be a
+        # SHARED filesystem (every process reloads from it on the
+        # regression/syn_train paths).
+        from instancesegmentation_tpu.parallel import multihost
+
+        self._mh = multihost
+        self.proc_id, self.proc_count = multihost.process_info()
+        self.is_main = self.proc_id == 0
+        if self.proc_count > 1 and not cfg.data_parallel:
+            raise ValueError("multi-host training requires --data-parallel")
+        self.local_slice = (
+            multihost.local_batch_slice(cfg.batch_size)
+            if self.proc_count > 1
+            else None
+        )
         bn_axis = "data" if cfg.data_parallel else None
         self.model = Segment(
             in_channels=cfg.in_channels,
@@ -90,7 +108,7 @@ class Trainer:
             self.ckpt = BranchBestCheckpoint(
                 cfg.checkpoint_dir, explicit_path=cfg.checkpoint_save_path
             )
-        self.logger = MetricLogger(cfg.out_dir)
+        self.logger = MetricLogger(cfg.out_dir, enabled=self.is_main)
         self.start_epoch = 0
         self.iou_max = 0.0
 
@@ -130,36 +148,58 @@ class Trainer:
         IoU vector, so every val sample counts exactly once.
         """
         cfg = self.cfg
-        ious: list[float] = []
+        iou_sum, iou_count = 0.0, 0
         cap = cfg.max_val_batches or None
         first = None
         n_total = len(valset)
+        per = cfg.batch_size // self.proc_count
         for k, batch in enumerate(
             batch_iterator(
                 valset, cfg.batch_size, shuffle=True, seed=seed, epochs=1,
                 drop_last=False, num_threads=cfg.num_threads,
+                local_slice=self.local_slice,
             )
         ):
             images, probs, masks, iou_vec = self.eval_step(
                 self.state.variables, self.shard_batch(batch)
             )
             # padding repeats the tail's first sample at the END of the
-            # batch (pipeline.batch_iterator), so the valid prefix is
-            # whatever of the dataset remains at this batch index
+            # GLOBAL batch (pipeline.batch_iterator), so the valid prefix
+            # is whatever of the dataset remains at this batch index
             valid = min(cfg.batch_size, n_total - k * cfg.batch_size)
-            ious.extend(np.asarray(iou_vec)[:valid].tolist())
-            if first is None and cfg.log_images:
+            if self.proc_count > 1:
+                # this process's rows are global rows
+                # [proc_id*per, (proc_id+1)*per); count the intersection
+                # with the valid prefix, reduce across processes at the end
+                local = self._mh.host_local_rows(iou_vec)
+                lv = int(np.clip(valid - self.proc_id * per, 0, per))
+                iou_sum += float(local[:lv].sum())
+                iou_count += lv
+            else:
+                vals = np.asarray(iou_vec)[:valid]
+                iou_sum += float(vals.sum())
+                iou_count += len(vals)
+            if first is None and cfg.log_images and self.is_main:
                 first = (images, probs, masks)
             if cap and k + 1 >= cap:
                 break
         if first is not None:
             images, probs, masks = first
+            to_np = (
+                self._mh.host_local_rows
+                if self.proc_count > 1
+                else np.asarray
+            )
             dump_image_grid(
                 os.path.join(cfg.out_dir, "viz"),
                 f"val_e{epoch:03d}",
-                np.asarray(images), np.asarray(masks), np.asarray(probs),
+                to_np(images), to_np(masks), to_np(probs),
             )
-        return float(np.mean(ious)) if ious else 0.0
+        if self.proc_count > 1:
+            iou_sum, iou_count = self._mh.sum_across_processes(
+                [iou_sum, float(iou_count)]
+            )
+        return float(iou_sum / iou_count) if iou_count else 0.0
 
     # ------------------------------------------------------------------
     def train(self) -> float:
@@ -173,8 +213,10 @@ class Trainer:
 
         from instancesegmentation_tpu.data.pipeline import device_prefetch
 
-        with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
-            _json.dump(_dc.asdict(cfg), f, indent=2)
+        if self.is_main:
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
+                _json.dump(_dc.asdict(cfg), f, indent=2)
 
         trainset = InstanceCommonDataset(cfg.train_dataset_dir, cfg.canvas)
         valset = InstanceCommonDataset(cfg.val_dataset_dir, cfg.canvas)
@@ -202,13 +244,28 @@ class Trainer:
             val_seconds = 0.0  # excluded from the reported img/s
             n_seen = 0
             # double-buffered host->HBM (pre-sharded over the mesh in DP)
-            batches = device_prefetch(
-                batch_iterator(
+            if cfg.loader == "grain":
+                from instancesegmentation_tpu.data.grain_loader import (
+                    grain_batch_iterator,
+                )
+
+                train_stream = grain_batch_iterator(
+                    trainset,
+                    cfg.batch_size // self.proc_count,
+                    shuffle=True, seed=cfg.seed + epoch, epochs=1,
+                    num_workers=cfg.grain_workers,
+                    shard_by_process=self.proc_count > 1,
+                    read_threads=cfg.num_threads,
+                )
+            else:
+                train_stream = batch_iterator(
                     trainset, cfg.batch_size, shuffle=True,
                     seed=cfg.seed + epoch, epochs=1,
                     num_threads=cfg.num_threads,
-                ),
-                sharding=self.batch_sharding,
+                    local_slice=self.local_slice,
+                )
+            batches = device_prefetch(
+                train_stream, sharding=self.batch_sharding,
             )
             for i0, batch in enumerate(batches):
                 if not profile_done and not profile_started and i0 == 1:
@@ -262,11 +319,29 @@ class Trainer:
                     # (ref :471-489 has no bound); cap it here
                     may_restart = restarts < cfg.max_restarts
 
+                    # checkpoint observations: under multi-host DP, take
+                    # process 0's view so the restart/adoption/save
+                    # branches (which gate collective step calls) are
+                    # identical on every process even mid-write
+                    if self.proc_count > 1:
+                        exists_here = self.ckpt.exists()
+                        obs = self._mh.broadcast_from_main(
+                            [
+                                1.0 if exists_here else 0.0,
+                                (self.ckpt.best() or 0.0) if exists_here else 0.0,
+                            ]
+                        )
+                        ckpt_exists = bool(obs[0])
+                        peer_best = float(obs[1])
+                    else:
+                        ckpt_exists = self.ckpt.exists()
+                        peer_best = (self.ckpt.best() or 0.0) if ckpt_exists else 0.0
+
                     # regression guard (ref :471-477)
                     if (
                         may_restart
                         and self.iou_max - val_iou > cfg.regression_threshold
-                        and self.ckpt.exists()
+                        and ckpt_exists
                     ):
                         print(
                             "val_iou too low, reload checkpoint from "
@@ -279,8 +354,7 @@ class Trainer:
                             break
 
                     # syn_train adoption (ref :479-489)
-                    if self.ckpt.exists():
-                        peer_best = self.ckpt.best() or 0.0
+                    if ckpt_exists:
                         stale = epoch - self.start_epoch > cfg.stale_epochs
                         if self.iou_max < peer_best or stale:
                             print(f"update model from {self.ckpt.path}")
@@ -293,11 +367,19 @@ class Trainer:
                                     restarts += 1
                                     break
 
-                    # save-best (ref :491-509)
+                    # save-best (ref :491-509); in multi-host DP the
+                    # state is replicated, so process 0 alone writes to
+                    # the shared checkpoint (iou_max advances everywhere
+                    # — val_iou is already the global mean)
                     if val_iou > self.iou_max and val_iou > cfg.save_iou_gate:
                         self.iou_max = val_iou
-                        print("save branch best checkpoint " + self.ckpt.path)
-                        self.ckpt.save(self.state, best=val_iou, epoch=epoch + 1)
+                        if self.is_main:
+                            print(
+                                "save branch best checkpoint " + self.ckpt.path
+                            )
+                            self.ckpt.save(
+                                self.state, best=val_iou, epoch=epoch + 1
+                            )
 
             epoch += 1
             if restarted:
@@ -317,6 +399,15 @@ def main(argv=None):
     from instancesegmentation_tpu.train.config import parse_args
 
     cfg = parse_args(argv)
+    if cfg.multihost:
+        # must run before the Trainer constructor initializes a backend
+        from instancesegmentation_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator=cfg.coordinator or None,
+            num_processes=cfg.num_processes or None,
+            process_id=cfg.process_id if cfg.process_id >= 0 else None,
+        )
     Trainer(cfg).train()
 
 

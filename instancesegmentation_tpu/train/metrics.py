@@ -16,20 +16,31 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, out_dir: str, name: str = "metrics"):
+    def __init__(self, out_dir: str, name: str = "metrics", enabled: bool = True):
+        """``enabled=False`` makes every method a no-op and touches no
+        files — multi-host training passes this on non-main processes so
+        a shared out_dir sees exactly one writer."""
+        self.enabled = enabled
+        self.t0 = time.time()
+        if not enabled:
+            self.path = None
+            self._f = None
+            return
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{name}.jsonl")
         self._f = open(self.path, "a")
-        self.t0 = time.time()
 
     def log(self, step: int, **scalars) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "time": round(time.time() - self.t0, 3)}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self.enabled:
+            self._f.close()
 
 
 def dump_image_grid(
