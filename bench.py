@@ -91,7 +91,7 @@ def flagship_instance_metric() -> dict:
         train=False,
     )
     head = fold_head(variables["params"])
-    aug = AugmentConfig(out_size=(out, out))
+    aug = AugmentConfig(out_size=(out, out), out_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(1)
     batch = {

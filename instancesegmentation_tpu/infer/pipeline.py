@@ -145,14 +145,18 @@ class InferenceEngine:
                     im.astype(jnp.float32), WarpParams(s, o), out_hw
                 )
             )(canvas_u8, params.scale, params.offset)
-            x = jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0
+            # model inputs cross HBM in the compute dtype (the first
+            # conv casts anyway; this halves the 17-ch heatmap tensor)
+            x = (jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0).astype(dtype)
             if self.in_channels > 3:
                 kps = keypoints.astype(jnp.float32)
                 pts = jax.vmap(
                     lambda p, s, o: warp_points(p, WarpParams(s, o))
                 )(kps[..., :2], params.scale, params.offset)
                 vis = kps[..., 2] > 0.5
-                hm = jax.vmap(lambda p, v: render_heatmaps(p, v, out_hw))(pts, vis)
+                hm = jax.vmap(
+                    lambda p, v: render_heatmaps(p, v, out_hw)
+                )(pts, vis).astype(dtype)
             else:
                 hm = None
             logits = _apply_model(variables, x, hm)

@@ -28,6 +28,10 @@ def augment_config(cfg, train: bool) -> AugmentConfig:
         brightness=cfg.brightness if train else 0.0,
         contrast=cfg.contrast if train else 0.0,
         noise_std=cfg.noise_std if train else 0.0,
+        # emit model inputs in the compute dtype: the first conv would
+        # cast anyway, this just halves the HBM width of the pipeline's
+        # largest tensors (the [oh,ow,17] heatmaps)
+        out_dtype=jnp.bfloat16 if cfg.bfloat16 else None,
     )
 
 

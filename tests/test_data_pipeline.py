@@ -71,6 +71,28 @@ def test_preprocess_batch_outputs(ds):
     assert heatmaps.max() > 0.95
 
 
+def test_preprocess_out_dtype_value_identical(ds):
+    """out_dtype=bf16 must equal the f32 pipeline followed by the model
+    entry cast — bit-identical, since the cast merely moves from the
+    first conv into the pipeline (pipeline.AugmentConfig.out_dtype)."""
+    import jax.numpy as jnp
+
+    batch = host_batch([ds.fetch(i) for i in range(2)])
+    f32 = AugmentConfig(out_size=(32, 32))
+    bf16 = AugmentConfig(out_size=(32, 32), out_dtype=jnp.bfloat16)
+    i32, h32, m32 = preprocess_batch(batch, jax.random.PRNGKey(3), f32)
+    i16, h16, m16 = preprocess_batch(batch, jax.random.PRNGKey(3), bf16)
+    assert i16.dtype == h16.dtype == jnp.bfloat16
+    assert m16.dtype == m32.dtype  # loss targets stay f32
+    np.testing.assert_array_equal(
+        np.asarray(i32.astype(jnp.bfloat16), np.float32), np.asarray(i16, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h32.astype(jnp.bfloat16), np.float32), np.asarray(h16, np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16))
+
+
 def test_preprocess_deterministic_without_augs(ds):
     batch = host_batch([ds.fetch(0)])
     cfg = AugmentConfig(out_size=(64, 64))
