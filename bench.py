@@ -5,8 +5,9 @@ Line 2 (LAST, the driver-parsed headline) measures the fused
 whole-image serving program (device-side bf16 normalize + truncated
 Segment forward + algebraically folded section-6 head
 (models/fused_head.py) + sigmoid) at batch 128, bf16 compute, on the
-attached TPU chip.  Measured r2: 15,600 img/s (was 12,262 in r1; the
-delta is pure HBM-traffic reduction — ROOFLINE.md).  Pre-fold batch
+attached TPU chip.  Measured r2: 15.2-15.6k img/s across sessions,
+~2-3% tunnel noise (was 12,262 in r1; the delta is pure HBM-traffic
+reduction — ROOFLINE.md).  Pre-fold batch
 sweep: 32 -> 3.8k, 64 -> 6.5k, 128 -> 12.2k, 256 -> 10.6k img/s; the
 net is memory-bound and the 256 regression is an XLA re-tiling effect
 (ROOFLINE.md conclusion 3).

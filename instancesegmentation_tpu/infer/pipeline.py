@@ -180,12 +180,17 @@ class InferenceEngine:
         import cv2
 
         n = len(images)
-        batch = np.zeros((n, self.size, self.size, 3), dtype=np.uint8)
+        # pad to the power-of-2 bucket so arbitrary request counts reuse
+        # O(log B) compiled programs (same policy as predict_instances)
+        bucket = self._bucket_size(n)
+        batch = np.zeros((bucket, self.size, self.size, 3), dtype=np.uint8)
         for i, img in enumerate(images):
             batch[i] = cv2.resize(
                 img, (self.size, self.size), interpolation=cv2.INTER_LINEAR
             )
-        probs = np.asarray(self._forward_whole(self.variables, jnp.asarray(batch)))
+        probs = np.asarray(
+            self._forward_whole(self.variables, jnp.asarray(batch))
+        )[:n]
         masks = []
         for i, img in enumerate(images):
             h, w = img.shape[:2]

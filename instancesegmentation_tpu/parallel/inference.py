@@ -45,12 +45,26 @@ class ParallelInferenceEngine:
 
         @jax.jit
         def forward(variables, images_u8):
-            x = images_u8.astype(jnp.float32) / 127.5 - 1.0
+            # same fused serving program as the single-chip engine
+            # (infer/pipeline.py): compute-dtype normalize + truncated
+            # backbone + algebraically folded section-6 head
+            from instancesegmentation_tpu.models.fused_head import (
+                fold_head,
+                head_apply,
+            )
+
+            x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
             if in_channels > 3:
                 hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
-                logits = self.model.apply(variables, x, hm, train=False)
+                feats = self.model.apply(
+                    variables, x, hm, train=False, truncate_head=True
+                )
             else:
-                logits = self.model.apply(variables, x, train=False)
+                feats = self.model.apply(
+                    variables, x, train=False, truncate_head=True
+                )
+            head = fold_head(variables["params"])
+            logits = head_apply(feats, head, dtype=dtype).astype(jnp.float32)
             return jax.nn.sigmoid(logits)
 
         self._forward = forward

@@ -169,6 +169,29 @@ def test_predict_instances_shape_bucketing(synth):
     assert engine._forward_instance._cache_size() == 2
 
 
+def test_predict_images_shape_bucketing():
+    """Whole-image mode buckets too: request counts 3..4 share the
+    4-bucket program, and padding never perturbs real rows."""
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    engine = InferenceEngine(variables, in_channels=3, size=SIZE, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    images = [
+        rng.integers(0, 255, size=(50 + i, 64, 3), dtype=np.uint8)
+        for i in range(4)
+    ]
+    engine.predict_images(images[:1])           # 1-bucket
+    out3 = engine.predict_images(images[:3])    # pads to 4
+    out4 = engine.predict_images(images[:4])    # same 4-bucket
+    assert engine._forward_whole._cache_size() == 2, (
+        "counts {3,4} must share one program; count 1 adds one"
+    )
+    # same program, same real rows: pad rows must not perturb them
+    np.testing.assert_array_equal(out3[0], out4[0])
+    for i, m in enumerate(out4):
+        assert m.shape == (50 + i, 64)
+
+
 def test_bucket_size():
     assert [InferenceEngine._bucket_size(b) for b in (1, 2, 3, 4, 5, 8, 9, 16)] == [
         1, 2, 4, 4, 8, 8, 16, 16,
