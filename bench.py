@@ -51,7 +51,10 @@ ITERS = 30
 
 FLAG_CANVAS = 640   # host canvas the crop-warp samples from
 FLAG_OUT = 480      # the reference's training resolution
-FLAG_BATCH = 64
+FLAG_BATCH = 128    # like the whole-image program, the instance
+                    # pipeline is memory-bound with a large per-dispatch
+                    # term: batch 64 -> 3.6k, 128 -> 7.8k img/s
+                    # (ROOFLINE_instance.json)
 FLAG_ITERS = 20
 
 
@@ -94,23 +97,12 @@ def flagship_instance_metric() -> dict:
     head = fold_head(variables["params"])
     aug = AugmentConfig(out_size=(out, out), out_dtype=jnp.bfloat16)
 
-    rng = np.random.default_rng(1)
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+
     batch = {
-        "image": rng.integers(0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8),
-        "mask": (rng.random((b, canvas, canvas)) > 0.7).astype(np.uint8) * 255,
-        "image_hw": np.full((b, 2), canvas, np.float32),
-        "obj_box": np.tile(np.asarray([40, 40, 560, 600], np.float32), (b, 1)),
-        "mask_box": np.tile(np.asarray([60, 60, 540, 580], np.float32), (b, 1)),
-        "mask_valid": np.ones((b,), bool),
-        "keypoints": np.concatenate(
-            [
-                rng.uniform(60, 540, size=(b, 17, 2)).astype(np.float32),
-                np.ones((b, 17, 1), np.float32),
-            ],
-            axis=-1,
-        ),
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in synthetic_host_batch(b, canvas).items()
     }
-    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
     @jax.jit
     def bench_loop(batch):

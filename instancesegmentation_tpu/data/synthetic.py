@@ -117,3 +117,37 @@ def make_synthetic_dataset(
         with open(os.path.join(out_dir, "data", name + ".json"), "w") as f:
             json.dump(ann, f)
     return out_dir
+
+
+def synthetic_host_batch(b: int, canvas: int = 640, seed: int = 1) -> dict:
+    """Random host batch in the pipeline.host_batch layout, for
+    benchmarks and roofline sweeps (bench.py, tools/roofline.py) — one
+    definition so every measurement feeds the identical contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lo, hi = int(canvas * 0.094), int(canvas * 0.844)  # 60/540 at 640
+    return {
+        "image": rng.integers(
+            0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8
+        ),
+        "mask": (rng.random((b, canvas, canvas)) > 0.7).astype(np.uint8) * 255,
+        "image_hw": np.full((b, 2), canvas, np.float32),
+        "obj_box": np.tile(
+            np.asarray(
+                [lo - 20, lo - 20, hi + 20, hi + 60], np.float32
+            ),
+            (b, 1),
+        ),
+        "mask_box": np.tile(
+            np.asarray([lo, lo, hi, hi + 40], np.float32), (b, 1)
+        ),
+        "mask_valid": np.ones((b,), bool),
+        "keypoints": np.concatenate(
+            [
+                rng.uniform(lo, hi, size=(b, 17, 2)).astype(np.float32),
+                np.ones((b, 17, 1), np.float32),
+            ],
+            axis=-1,
+        ),
+    }

@@ -32,7 +32,7 @@ import os
 import numpy as np
 
 
-def _build_engine(checkpoint, size, in_channels, bfloat16, max_instances=16):
+def _build_engine(checkpoint, size, in_channels, bfloat16):
     import jax
     import jax.numpy as jnp
 

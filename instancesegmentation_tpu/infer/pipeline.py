@@ -74,21 +74,24 @@ class InferenceEngine:
         self.threshold = threshold
         self.in_channels = in_channels
 
+        from instancesegmentation_tpu.models.fused_head import (
+            fold_head,
+            head_apply,
+        )
+
+        # fold ONCE per engine: the impulse-response derivation and the
+        # ~100 phase-kernel updates run here on the host, and every
+        # bucket program closes over the small FoldedHead constants —
+        # not re-derived per dispatch
+        head = fold_head(variables["params"])
+
         def _apply_model(variables, x, hm=None):
             """Backbone + algebraically folded section-6 head
             (models/fused_head.py): same f32-logit math as
-            ``model.apply``, minus the [4H,4W,4] HBM intermediate.
-            The fold runs inside the jitted program (pure ops on the
-            param leaves, negligible next to the forward)."""
-            from instancesegmentation_tpu.models.fused_head import (
-                fold_head,
-                head_apply,
-            )
-
+            ``model.apply``, minus the [4H,4W,4] HBM intermediate."""
             feats = self.model.apply(
                 variables, x, hm, train=False, truncate_head=True
             )
-            head = fold_head(variables["params"])
             return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
 
         @jax.jit
@@ -180,6 +183,8 @@ class InferenceEngine:
         import cv2
 
         n = len(images)
+        if n == 0:
+            return []
         # pad to the power-of-2 bucket so arbitrary request counts reuse
         # O(log B) compiled programs (same policy as predict_instances)
         bucket = self._bucket_size(n)
@@ -219,6 +224,10 @@ class InferenceEngine:
         rows are sliced off the outputs.
         """
         b = batch["image"].shape[0]
+        if b == 0:
+            # np.repeat of a 0-row prefix can't reach the 1-bucket; be
+            # explicit instead of compiling a zero-row program
+            raise ValueError("predict_instances: empty batch")
         bucket = self._bucket_size(b)
         if bucket != b:
             pad = bucket - b

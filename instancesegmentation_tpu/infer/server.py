@@ -85,29 +85,59 @@ class ServingFrontend:
             batch.append(item)
         return batch
 
+    @staticmethod
+    def _resolve(fut: Future, value, is_error: bool) -> None:
+        """Complete a future, tolerating a concurrent cancel: the
+        cancelled() check alone races with client-side fut.cancel(), and
+        an InvalidStateError escaping here would kill the worker thread
+        and hang every other request."""
+        try:
+            if fut.cancelled():
+                return
+            if is_error:
+                fut.set_exception(value)
+            else:
+                fut.set_result(value)
+        except Exception:
+            pass  # future was cancelled/completed in the race window
+
+    def _serve(self, batch) -> None:
+        images = [im for im, _ in batch]
+        futures = [f for _, f in batch]
+        try:
+            masks = self.engine.predict_images(images)
+        except Exception as e:  # fan the failure out to this batch only
+            for f in futures:
+                self._resolve(f, e, is_error=True)
+            return
+        self.dispatches += 1
+        for f, m in zip(futures, masks):
+            self._resolve(f, m, is_error=False)
+        self.served += len(futures)
+
     def _worker(self):
         while True:
             batch = self._collect()
             if batch is None:
+                # shutdown sentinel seen: serve requests that raced into
+                # the queue behind it (submit() passed the closed check
+                # before close() set it) so no future is left unresolved
+                leftovers = []
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not None:
+                        leftovers.append(item)
+                for i in range(0, len(leftovers), self.max_batch):
+                    self._serve(leftovers[i : i + self.max_batch])
                 return
             if not batch:
                 if self._closed.is_set() and self._q.empty():
                     return
                 continue
-            images = [im for im, _ in batch]
-            futures = [f for _, f in batch]
-            try:
-                masks = self.engine.predict_images(images)
-            except Exception as e:  # fan the failure out to this batch only
-                for f in futures:
-                    if not f.cancelled():
-                        f.set_exception(e)
-                continue
-            self.dispatches += 1
-            for f, m in zip(futures, masks):
-                if not f.cancelled():
-                    f.set_result(m)
-            self.served += len(futures)
+            self._serve(batch)
 
     # -- lifecycle -----------------------------------------------------
     def close(self, timeout: float = 10.0) -> None:

@@ -43,16 +43,19 @@ class ParallelInferenceEngine:
         )
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
 
+        # same fused serving program as the single-chip engine
+        # (infer/pipeline.py): compute-dtype normalize + truncated
+        # backbone + algebraically folded section-6 head.  Fold ONCE
+        # here; the program closes over the small FoldedHead constants.
+        from instancesegmentation_tpu.models.fused_head import (
+            fold_head,
+            head_apply,
+        )
+
+        head = fold_head(variables["params"])
+
         @jax.jit
         def forward(variables, images_u8):
-            # same fused serving program as the single-chip engine
-            # (infer/pipeline.py): compute-dtype normalize + truncated
-            # backbone + algebraically folded section-6 head
-            from instancesegmentation_tpu.models.fused_head import (
-                fold_head,
-                head_apply,
-            )
-
             x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
             if in_channels > 3:
                 hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
@@ -63,7 +66,6 @@ class ParallelInferenceEngine:
                 feats = self.model.apply(
                     variables, x, train=False, truncate_head=True
                 )
-            head = fold_head(variables["params"])
             logits = head_apply(feats, head, dtype=dtype).astype(jnp.float32)
             return jax.nn.sigmoid(logits)
 

@@ -112,9 +112,10 @@ class Trainer:
         self.start_epoch = 0
         self.iou_max = 0.0
 
-        if self.ckpt.exists():
-            self.iou_max = self.ckpt.best() or 0.0
-        if cfg.continue_train and self.ckpt.exists():
+        ckpt_exists, peer_best = self._ckpt_obs()
+        if ckpt_exists:
+            self.iou_max = peer_best
+        if cfg.continue_train and ckpt_exists:
             print(f"loading checkpoint from {self.ckpt.path}")
             self._load_best()
         elif cfg.pretrained_path and os.path.exists(cfg.pretrained_path):
@@ -126,9 +127,59 @@ class Trainer:
             self.start_epoch = 0
 
     # ------------------------------------------------------------------
+    def _ckpt_obs(self) -> tuple[bool, float]:
+        """(exists, best) of the shared checkpoint.  Under multi-host DP
+        this is process 0's observation broadcast to everyone, so the
+        branches it gates — which in turn gate COLLECTIVE step and
+        broadcast calls — are identical on every process even while the
+        file is mid-write on some host."""
+        if self.proc_count > 1:
+            exists_here = self.ckpt.exists()
+            obs = self._mh.broadcast_from_main(
+                [
+                    1.0 if exists_here else 0.0,
+                    (self.ckpt.best() or 0.0) if exists_here else 0.0,
+                ]
+            )
+            return bool(obs[0]), float(obs[1])
+        exists = self.ckpt.exists()
+        return exists, (self.ckpt.best() or 0.0) if exists else 0.0
+
     def _load_best(self) -> bool:
         """Resume model+optimizer+epoch from the branch-best checkpoint
-        (reference load_checkpoint, ref :320-328).  Returns success."""
+        (reference load_checkpoint, ref :320-328).  Returns success.
+
+        Multi-host: ONLY process 0 touches the file; success and the
+        loaded state are broadcast.  A per-process read could fail or
+        see a different version on one host (torn/racing write), which
+        would diverge the restart control flow — mismatched collectives
+        across hosts hang the job — or silently desynchronize the
+        replicated parameters.
+        """
+        if self.proc_count > 1:
+            from jax.experimental import multihost_utils
+
+            ok, epoch = 0.0, 0.0
+            state = None
+            if self.is_main:
+                try:
+                    state, meta = self.ckpt.load(self.state)
+                    ok, epoch = 1.0, float(meta.get("epoch", 0))
+                except Exception as e:  # the reference swallows too
+                    print(f"load fail: {e}")
+            flags = self._mh.broadcast_from_main([ok, epoch])
+            if not flags[0]:
+                return False
+            template = state if state is not None else self.state
+            state = multihost_utils.broadcast_one_to_all(template)
+            self.state = jax.device_put(
+                state,
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                ),
+            )
+            self.start_epoch = int(flags[1])
+            return True
         try:
             state, meta = self.ckpt.load(self.state)
             self.state = state
@@ -235,6 +286,7 @@ class Trainer:
         # out_dir/profile, viewable in TensorBoard/Perfetto
         profile_started = False
         profile_done = cfg.profile_steps <= 0
+        steps_profiled = 0  # own counter: the per-epoch index i0 resets
         profile_dir = os.path.join(cfg.out_dir, "profile")
 
         while epoch < cfg.epochs:
@@ -280,11 +332,13 @@ class Trainer:
                 losses.append(metrics["loss"])
                 n_seen += cfg.batch_size
 
-                if profile_started and not profile_done and i0 >= cfg.profile_steps:
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    profile_done = True
-                    print(f"profiler trace written to {profile_dir}")
+                if profile_started and not profile_done:
+                    steps_profiled += 1
+                    if steps_profiled >= cfg.profile_steps:
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
+                        profile_done = True
+                        print(f"profiler trace written to {profile_dir}")
 
                 if i0 % cfg.show_iter == cfg.show_iter - 1:
                     loss = float(jnp.mean(jnp.stack(losses)))
@@ -319,23 +373,7 @@ class Trainer:
                     # (ref :471-489 has no bound); cap it here
                     may_restart = restarts < cfg.max_restarts
 
-                    # checkpoint observations: under multi-host DP, take
-                    # process 0's view so the restart/adoption/save
-                    # branches (which gate collective step calls) are
-                    # identical on every process even mid-write
-                    if self.proc_count > 1:
-                        exists_here = self.ckpt.exists()
-                        obs = self._mh.broadcast_from_main(
-                            [
-                                1.0 if exists_here else 0.0,
-                                (self.ckpt.best() or 0.0) if exists_here else 0.0,
-                            ]
-                        )
-                        ckpt_exists = bool(obs[0])
-                        peer_best = float(obs[1])
-                    else:
-                        ckpt_exists = self.ckpt.exists()
-                        peer_best = (self.ckpt.best() or 0.0) if ckpt_exists else 0.0
+                    ckpt_exists, peer_best = self._ckpt_obs()
 
                     # regression guard (ref :471-477)
                     if (

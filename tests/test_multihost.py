@@ -135,9 +135,18 @@ TRAIN_WORKER = textwrap.dedent(
     )
     t = Trainer(cfg)
     last = t.train()
-    leaves = jax.tree_util.tree_leaves(t.state.params)
-    checksum = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
-    print(f"proc{pid} DONE val={last:.6f} sum={checksum:.6f}", flush=True)
+
+    def checksum():
+        leaves = jax.tree_util.tree_leaves(t.state.params)
+        return float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+
+    print(f"proc{pid} DONE val={last:.6f} sum={checksum():.6f}", flush=True)
+
+    # process-0-reads + broadcast reload path (only proc 0 touches the
+    # file; the state is broadcast so every process adopts the SAME
+    # checkpoint version)
+    assert t._load_best(), "reload of the just-saved checkpoint failed"
+    print(f"proc{pid} LOADED sum={checksum():.6f}", flush=True)
     """
 )
 
@@ -198,6 +207,12 @@ def test_two_process_trainer(tmp_path):
     assert set(done) == {0, 1}, joined
     # replicated params + global val mean must be bit-identical
     assert done[0] == done[1], done
+    loaded = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(r"proc(\d) LOADED sum=([\d.]+)", joined)
+    }
+    assert set(loaded) == {0, 1}, joined
+    assert loaded[0] == loaded[1], loaded
     # single-writer artifacts: metrics from process 0 only, with val
     # records; a checkpoint exists (save_iou_gate=0)
     metrics = (tmp_path / "out" / "metrics.jsonl").read_text()

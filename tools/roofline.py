@@ -146,25 +146,69 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640):
         )
         return acc
 
-    rng = np.random.default_rng(1)
-    b = batch_size
-    host = {
-        "image": rng.integers(0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8),
-        "mask": (rng.random((b, canvas, canvas)) > 0.7).astype(np.uint8) * 255,
-        "image_hw": np.full((b, 2), canvas, np.float32),
-        "obj_box": np.tile(np.asarray([40, 40, 560, 600], np.float32), (b, 1)),
-        "mask_box": np.tile(np.asarray([60, 60, 540, 580], np.float32), (b, 1)),
-        "mask_valid": np.ones((b,), bool),
-        "keypoints": np.concatenate(
-            [
-                rng.uniform(60, 540, size=(b, 17, 2)).astype(np.float32),
-                np.ones((b, 17, 1), np.float32),
-            ],
-            axis=-1,
-        ),
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in synthetic_host_batch(batch_size, canvas).items()
     }
-    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in host.items()}
     return single, bench_loop, (state, batch, jax.random.PRNGKey(0))
+
+
+def build_instance(batch_size: int, size: int = 480, canvas: int = 640):
+    """The flagship fused instance program (bench.py line 1): on-device
+    crop-warp from the canvas + 17-ch heatmap render + 20-ch conditioned
+    forward (truncated) + folded head + sigmoid."""
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+    from instancesegmentation_tpu.models.fused_head import fold_head, head_apply
+    from instancesegmentation_tpu.models.segment import Segment
+
+    model = Segment(in_channels=20, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, size, size, 17)),
+        train=False,
+    )
+    head = fold_head(variables["params"])
+    aug = AugmentConfig(out_size=(size, size), out_dtype=jnp.bfloat16)
+
+    def forward(batch):
+        images, heatmaps, _ = preprocess_batch(batch, jax.random.PRNGKey(0), aug)
+        feats = model.apply(
+            variables, images, heatmaps, train=False, truncate_head=True
+        )
+        return jax.nn.sigmoid(head_apply(feats, head, dtype=jnp.bfloat16))
+
+    @jax.jit
+    def single(batch):
+        return forward(batch)
+
+    @jax.jit
+    def bench_loop(batch):
+        def body(i, carry):
+            acc, img = carry
+            probs = forward(dict(batch, image=img))
+            acc = acc + jnp.sum(probs)
+            bump = (probs[:, :1, :1, 0] > 0.5).astype(jnp.uint8)
+            img = img.at[:, :1, :1, 0].add(bump)
+            return acc, img
+
+        acc, _ = jax.lax.fori_loop(
+            0, ITERS, body, (jnp.zeros((), jnp.float32), batch["image"])
+        )
+        return acc
+
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in synthetic_host_batch(batch_size, canvas).items()
+    }
+    return single, bench_loop, (batch,)
 
 
 def analyze(
@@ -172,6 +216,8 @@ def analyze(
 ) -> dict:
     if mode == "train":
         single, bench_loop, args = build_train(batch_size, size)
+    elif mode == "instance":
+        single, bench_loop, args = build_instance(batch_size, size)
     else:
         single, bench_loop, args = build_infer(
             batch_size, size, fused=(mode == "infer_fused")
@@ -221,7 +267,7 @@ def main() -> None:
     p.add_argument("--trials", type=int, default=3)
     p.add_argument(
         "--mode",
-        choices=["infer", "infer_fused", "train"],
+        choices=["infer", "infer_fused", "train", "instance"],
         default="infer",
         help="infer: r1 serving program; infer_fused: r2 folded-head "
         "serving program; train: full fused train step (preprocess + "
