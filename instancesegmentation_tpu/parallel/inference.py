@@ -91,3 +91,36 @@ class ParallelInferenceEngine:
         images = jax.device_put(jnp.asarray(images_u8), self._batch_sharding)
         probs = self._forward(self.variables, images)
         return probs[:b] if pad else probs
+
+    def predict_images(self, images, threshold: float = 0.5):
+        """Same contract as the single-chip engine (infer.pipeline
+        InferenceEngine.predict_images): list of RGB uint8 at arbitrary
+        resolutions -> list of 0/255 uint8 masks at the original
+        resolutions — so the dynamic-batching ServingFrontend
+        (infer/server.py) can drive a whole mesh unchanged."""
+        import cv2
+        import numpy as np
+
+        n = len(images)
+        if n == 0:
+            return []
+        from instancesegmentation_tpu.infer.pipeline import InferenceEngine
+
+        # power-of-2 bucket (>= mesh size it's also a mesh multiple for
+        # the usual 2^k meshes), so varying request counts reuse
+        # O(log B) compiled programs here too
+        bucket = max(InferenceEngine._bucket_size(n), self.n)
+        batch = np.zeros((bucket, self.size, self.size, 3), dtype=np.uint8)
+        for i, img in enumerate(images):
+            batch[i] = cv2.resize(
+                img, (self.size, self.size), interpolation=cv2.INTER_LINEAR
+            )
+        probs = np.asarray(self(batch))
+        masks = []
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            p = cv2.resize(
+                probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR
+            )
+            masks.append(((p > threshold) * 255).astype(np.uint8))
+        return masks

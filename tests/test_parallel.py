@@ -149,3 +149,32 @@ def test_parallel_inference_engine():
     probs5 = np.asarray(par(images[:5]))
     assert probs5.shape == (5, 64, 64, 1)
     np.testing.assert_allclose(probs5, ref[:5], atol=5e-4)
+
+
+def test_parallel_engine_serving_frontend():
+    """Multi-chip serving: the DP engine's predict_images contract
+    drives the dynamic-batching ServingFrontend unchanged, with
+    arbitrary request resolutions and power-of-2 bucketing."""
+    from instancesegmentation_tpu.infer.server import ServingFrontend
+    from instancesegmentation_tpu.parallel.inference import ParallelInferenceEngine
+
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    par = ParallelInferenceEngine(
+        variables, in_channels=3, size=64, dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(2)
+    with ServingFrontend(par, max_batch=8, max_delay_ms=20.0) as srv:
+        futs = [
+            srv.submit(
+                rng.integers(0, 255, (40 + i, 56, 3), dtype=np.uint8)
+            )
+            for i in range(5)
+        ]
+        masks = [f.result(timeout=300) for f in futs]
+    for i, m in enumerate(masks):
+        assert m.shape == (40 + i, 56)
+        assert m.dtype == np.uint8
+        assert set(np.unique(m)) <= {0, 255}
+    assert srv.served == 5
