@@ -68,6 +68,12 @@ class TrainConfig:
     num_processes: int = 0
     process_id: int = -1
 
+    # rematerialization: recompute the forward during backward instead
+    # of storing activations (jax.checkpoint).  The train step is
+    # HBM-bound with ~10x compute headroom (ROOFLINE.md training
+    # table), so trading FLOPs for activation traffic can pay.
+    remat: bool = False
+
     # profiling (SURVEY.md §5 'tracing': jax.profiler traces +
     # step-time counters; 0 = off)
     profile_steps: int = 0         # trace N steady-state train steps

@@ -74,13 +74,19 @@ def make_train_step(model, tx, cfg) -> Callable:
         images, heatmaps, masks = preprocess_batch(batch, rng, aug)
         inputs = _forward_inputs(cfg, images, heatmaps)
 
-        def loss_fn(params):
-            logits, updates = model.apply(
+        def fwd(params, *inputs):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 *inputs,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if getattr(cfg, "remat", False):
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            logits, updates = fwd(params, *inputs)
             return bce_loss(logits, masks), (logits, updates["batch_stats"])
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(

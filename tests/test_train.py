@@ -271,3 +271,46 @@ def test_trainer_profile_trace(synth_dir, tmp_path):
         if f.endswith((".trace.json.gz", ".xplane.pb"))
     ]
     assert found, f"no trace artifact under {profile_dir}"
+
+
+def test_remat_step_bit_identical():
+    """--remat (full-model jax.checkpoint) must not change the math:
+    one train step with and without it produces identical loss and
+    updated params (measured perf tradeoff lives in ROOFLINE.md)."""
+    import optax
+
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+    from instancesegmentation_tpu.models.segment import Segment
+    from instancesegmentation_tpu.train.state import TrainState
+    from instancesegmentation_tpu.train.steps import make_train_step
+
+    size, canvas = 32, 64
+
+    def run(remat):
+        cfg = TrainConfig(
+            canvas=canvas, out_size=size, in_channels=20, bfloat16=False,
+            batch_size=2, remat=remat,
+        )
+        model = Segment(in_channels=20, dtype=jnp.float32)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, size, size, 17)),
+            train=False,
+        )
+        tx = optax.adam(1e-3)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, cfg)
+        batch = {
+            k: jnp.asarray(v) for k, v in synthetic_host_batch(2, canvas).items()
+        }
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        leaves = jax.tree_util.tree_leaves(state.params)
+        return float(m["loss"]), np.concatenate(
+            [np.asarray(l).ravel() for l in leaves]
+        )
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    assert l0 == l1
+    np.testing.assert_array_equal(p0, p1)

@@ -98,7 +98,8 @@ def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
     return single, bench_loop, (batch,)
 
 
-def build_train(batch_size: int, size: int = 480, canvas: int = 640):
+def build_train(batch_size: int, size: int = 480, canvas: int = 640,
+                remat: bool = False):
     """Full training step: fused device preprocess (crop-warp + 17-ch
     heatmap render) + conditioned fwd/bwd + Adam update, single chip —
     exactly the program Trainer dispatches per step (train/steps.py).
@@ -119,6 +120,7 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640):
         batch_size=batch_size,
         flip_prob=0.5,
         jitter=0.1,
+        remat=remat,
     )
     model = Segment(in_channels=20, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -214,8 +216,10 @@ def build_instance(batch_size: int, size: int = 480, canvas: int = 640):
 def analyze(
     batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer"
 ) -> dict:
-    if mode == "train":
-        single, bench_loop, args = build_train(batch_size, size)
+    if mode in ("train", "train_remat"):
+        single, bench_loop, args = build_train(
+            batch_size, size, remat=(mode == "train_remat")
+        )
     elif mode == "instance":
         single, bench_loop, args = build_instance(batch_size, size)
     else:
@@ -267,7 +271,7 @@ def main() -> None:
     p.add_argument("--trials", type=int, default=3)
     p.add_argument(
         "--mode",
-        choices=["infer", "infer_fused", "train", "instance"],
+        choices=["infer", "infer_fused", "train", "train_remat", "instance"],
         default="infer",
         help="infer: r1 serving program; infer_fused: r2 folded-head "
         "serving program; train: full fused train step (preprocess + "
