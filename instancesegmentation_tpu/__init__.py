@@ -13,11 +13,15 @@ instance segmentation), designed TPU-first:
                heatmap rendering, RoI-Align / NMS / proposal matching
                (Pallas + XLA).
 - ``data``     dataset converters (COCO / OCHuman / Supervisely) and the
-               host-side loader that streams prebatched tensors to HBM.
+               host-side loaders (threaded + grain) that stream
+               prebatched tensors to HBM.
 - ``train``    jitted train/eval steps, checkpointing (resume /
                regression-reload / syn-train contract), config, metrics.
-- ``infer``    batched inference pipeline fused into one XLA program.
-- ``parallel`` mesh construction + shard_map data parallelism.
+- ``infer``    batched inference pipeline fused into one XLA program,
+               with power-of-2 shape buckets, a folded output head, and
+               a dynamic-batching serving frontend.
+- ``parallel`` mesh construction + shard_map data parallelism,
+               multi-host initialization, DP serving engine.
 - ``utils``    torch checkpoint import (parity oracle), profiling.
 """
 

@@ -4,3 +4,4 @@ from instancesegmentation_tpu.infer.pipeline import (
     InferenceEngine,
     load_any_checkpoint,
 )
+from instancesegmentation_tpu.infer.server import ServingFrontend

@@ -12,3 +12,5 @@ resolution (fully-convolutional model).
 
 from instancesegmentation_tpu.parallel.mesh import make_mesh
 from instancesegmentation_tpu.parallel.data_parallel import make_parallel_steps
+from instancesegmentation_tpu.parallel.inference import ParallelInferenceEngine
+from instancesegmentation_tpu.parallel import multihost
