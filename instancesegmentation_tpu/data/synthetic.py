@@ -123,10 +123,12 @@ def synthetic_host_batch(b: int, canvas: int = 640, seed: int = 1) -> dict:
     """Random host batch in the pipeline.host_batch layout, for
     benchmarks and roofline sweeps (bench.py, tools/roofline.py) — one
     definition so every measurement feeds the identical contract."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
-    lo, hi = int(canvas * 0.094), int(canvas * 0.844)  # 60/540 at 640
+    # all geometry proportional to the canvas (60/540 and 20/40/60-px
+    # margins at the 640 reference canvas), so small canvases still get
+    # a centered in-bounds instance rather than degenerate boxes
+    lo, hi = int(canvas * 0.094), int(canvas * 0.844)
+    m1, m2, m3 = (int(canvas * f) for f in (0.03125, 0.0625, 0.09375))
     return {
         "image": rng.integers(
             0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8
@@ -135,12 +137,12 @@ def synthetic_host_batch(b: int, canvas: int = 640, seed: int = 1) -> dict:
         "image_hw": np.full((b, 2), canvas, np.float32),
         "obj_box": np.tile(
             np.asarray(
-                [lo - 20, lo - 20, hi + 20, hi + 60], np.float32
+                [lo - m1, lo - m1, hi + m1, hi + m3], np.float32
             ),
             (b, 1),
         ),
         "mask_box": np.tile(
-            np.asarray([lo, lo, hi, hi + 40], np.float32), (b, 1)
+            np.asarray([lo, lo, hi, hi + m2], np.float32), (b, 1)
         ),
         "mask_valid": np.ones((b,), bool),
         "keypoints": np.concatenate(

@@ -57,6 +57,41 @@ def load_any_checkpoint(path: str, variables_template: dict) -> dict:
         return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
 
+def predict_masks_batched(
+    forward_probs,
+    images: list,
+    size: int,
+    threshold: float,
+    min_bucket: int = 1,
+) -> list:
+    """Shared whole-image serving surface for the single-chip and DP
+    engines: resize requests to the engine shape, pad to the power-of-2
+    bucket (>= ``min_bucket``, e.g. the mesh size) so arbitrary request
+    counts reuse O(log B) compiled programs, run ``forward_probs``
+    (u8 batch -> prob maps), resize each map back to its request's
+    resolution, and threshold to 0/255 masks."""
+    import cv2
+
+    n = len(images)
+    if n == 0:
+        return []
+    bucket = max(InferenceEngine._bucket_size(n), min_bucket)
+    batch = np.zeros((bucket, size, size, 3), dtype=np.uint8)
+    for i, img in enumerate(images):
+        batch[i] = cv2.resize(
+            img, (size, size), interpolation=cv2.INTER_LINEAR
+        )
+    probs = np.asarray(forward_probs(batch))
+    masks = []
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        p = cv2.resize(
+            probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR
+        )
+        masks.append(((p > threshold) * 255).astype(np.uint8))
+    return masks
+
+
 class InferenceEngine:
     """Jitted fixed-shape inference over a Segment checkpoint."""
 
@@ -69,21 +104,38 @@ class InferenceEngine:
         threshold: float = 0.5,
     ):
         self.model = Segment(in_channels=in_channels, dtype=dtype)
-        self.variables = variables
         self.size = size
         self.threshold = threshold
         self.in_channels = in_channels
+        self._dtype = dtype
+        self.variables = variables  # property: folds head + builds programs
+
+    @property
+    def variables(self) -> dict:
+        return self._variables
+
+    @variables.setter
+    def variables(self, variables: dict) -> None:
+        """Assigning weights (re)folds the head and rebuilds the jitted
+        programs, so the closed-over FoldedHead constants can never go
+        stale against the backbone weights (new programs pay a fresh
+        compile on first use — correct for new weights either way)."""
+        self._variables = variables
+        self._build_programs()
+
+    def _build_programs(self) -> None:
+        dtype = self._dtype
 
         from instancesegmentation_tpu.models.fused_head import (
             fold_head,
             head_apply,
         )
 
-        # fold ONCE per engine: the impulse-response derivation and the
-        # ~100 phase-kernel updates run here on the host, and every
-        # bucket program closes over the small FoldedHead constants —
-        # not re-derived per dispatch
-        head = fold_head(variables["params"])
+        # fold ONCE per weight assignment: the impulse-response
+        # derivation and the ~100 phase-kernel updates run here on the
+        # host, and every bucket program closes over the small
+        # FoldedHead constants — not re-derived per dispatch
+        head = fold_head(self._variables["params"])
 
         def _apply_model(variables, x, hm=None):
             """Backbone + algebraically folded section-6 head
@@ -180,28 +232,10 @@ class InferenceEngine:
     def predict_images(self, images: list[np.ndarray]) -> list[np.ndarray]:
         """Whole-image mode: list of RGB uint8 -> list of uint8 masks at
         original resolutions."""
-        import cv2
-
-        n = len(images)
-        if n == 0:
-            return []
-        # pad to the power-of-2 bucket so arbitrary request counts reuse
-        # O(log B) compiled programs (same policy as predict_instances)
-        bucket = self._bucket_size(n)
-        batch = np.zeros((bucket, self.size, self.size, 3), dtype=np.uint8)
-        for i, img in enumerate(images):
-            batch[i] = cv2.resize(
-                img, (self.size, self.size), interpolation=cv2.INTER_LINEAR
-            )
-        probs = np.asarray(
-            self._forward_whole(self.variables, jnp.asarray(batch))
-        )[:n]
-        masks = []
-        for i, img in enumerate(images):
-            h, w = img.shape[:2]
-            p = cv2.resize(probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR)
-            masks.append(((p > self.threshold) * 255).astype(np.uint8))
-        return masks
+        return predict_masks_batched(
+            lambda b: self._forward_whole(self.variables, jnp.asarray(b)),
+            images, self.size, self.threshold,
+        )
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -37,6 +37,11 @@ class ServingFrontend:
         self.max_delay = float(max_delay_ms) / 1e3
         self._q: queue.Queue = queue.Queue()
         self._closed = threading.Event()
+        # serializes submit()'s closed-check+put against close()'s
+        # set+sentinel: without it a preempted submit could land its
+        # item AFTER the worker's final drain, leaving the future
+        # permanently unresolved
+        self._submit_lock = threading.Lock()
         self.dispatches = 0          # observability: device calls made
         self.served = 0              # requests completed
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -46,10 +51,11 @@ class ServingFrontend:
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one RGB uint8 image; resolves to the uint8 mask at
         the image's own resolution."""
-        if self._closed.is_set():
-            raise RuntimeError("ServingFrontend is closed")
         fut: Future = Future()
-        self._q.put((np.asarray(image), fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("ServingFrontend is closed")
+            self._q.put((np.asarray(image), fut))
         return fut
 
     def predict(self, image: np.ndarray, timeout: Optional[float] = None):
@@ -142,9 +148,10 @@ class ServingFrontend:
     # -- lifecycle -----------------------------------------------------
     def close(self, timeout: float = 10.0) -> None:
         """Drain pending requests, then stop the worker (idempotent)."""
-        if not self._closed.is_set():
-            self._closed.set()
-            self._q.put(None)
+        with self._submit_lock:
+            if not self._closed.is_set():
+                self._closed.set()
+                self._q.put(None)
         self._thread.join(timeout=timeout)
 
     def __enter__(self):

@@ -30,6 +30,7 @@ class ParallelInferenceEngine:
         size: int = 512,
         dtype=jnp.bfloat16,
         num_devices: Optional[int] = None,
+        threshold: float = 0.5,
     ):
         from instancesegmentation_tpu.models.segment import Segment
 
@@ -37,22 +38,40 @@ class ParallelInferenceEngine:
         self.n = self.mesh.devices.size
         self.size = size
         self.in_channels = in_channels
+        self.threshold = threshold
+        self._dtype = dtype
         self.model = Segment(in_channels=in_channels, dtype=dtype)
-        self.variables = jax.device_put(
+        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.variables = variables  # property: folds head + builds program
+
+    @property
+    def variables(self) -> dict:
+        return self._variables
+
+    @variables.setter
+    def variables(self, variables: dict) -> None:
+        """Assigning weights replicates them over the mesh, refolds the
+        head, and rebuilds the jitted program — the folded constants can
+        never go stale against the backbone weights."""
+        self._variables = jax.device_put(
             variables, NamedSharding(self.mesh, P())
         )
-        self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        self._build_program()
 
+    def _build_program(self) -> None:
         # same fused serving program as the single-chip engine
         # (infer/pipeline.py): compute-dtype normalize + truncated
         # backbone + algebraically folded section-6 head.  Fold ONCE
-        # here; the program closes over the small FoldedHead constants.
+        # per weight assignment; the program closes over the small
+        # FoldedHead constants.
         from instancesegmentation_tpu.models.fused_head import (
             fold_head,
             head_apply,
         )
 
-        head = fold_head(variables["params"])
+        dtype = self._dtype
+        in_channels = self.in_channels
+        head = fold_head(self._variables["params"])
 
         @jax.jit
         def forward(variables, images_u8):
@@ -92,35 +111,18 @@ class ParallelInferenceEngine:
         probs = self._forward(self.variables, images)
         return probs[:b] if pad else probs
 
-    def predict_images(self, images, threshold: float = 0.5):
+    def predict_images(self, images):
         """Same contract as the single-chip engine (infer.pipeline
         InferenceEngine.predict_images): list of RGB uint8 at arbitrary
         resolutions -> list of 0/255 uint8 masks at the original
         resolutions — so the dynamic-batching ServingFrontend
-        (infer/server.py) can drive a whole mesh unchanged."""
-        import cv2
-        import numpy as np
+        (infer/server.py) can drive a whole mesh unchanged.  Shares the
+        resize/bucket/threshold surface with the single-chip engine
+        (min_bucket = the mesh size, a mesh multiple for 2^k meshes)."""
+        from instancesegmentation_tpu.infer.pipeline import (
+            predict_masks_batched,
+        )
 
-        n = len(images)
-        if n == 0:
-            return []
-        from instancesegmentation_tpu.infer.pipeline import InferenceEngine
-
-        # power-of-2 bucket (>= mesh size it's also a mesh multiple for
-        # the usual 2^k meshes), so varying request counts reuse
-        # O(log B) compiled programs here too
-        bucket = max(InferenceEngine._bucket_size(n), self.n)
-        batch = np.zeros((bucket, self.size, self.size, 3), dtype=np.uint8)
-        for i, img in enumerate(images):
-            batch[i] = cv2.resize(
-                img, (self.size, self.size), interpolation=cv2.INTER_LINEAR
-            )
-        probs = np.asarray(self(batch))
-        masks = []
-        for i, img in enumerate(images):
-            h, w = img.shape[:2]
-            p = cv2.resize(
-                probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR
-            )
-            masks.append(((p > threshold) * 255).astype(np.uint8))
-        return masks
+        return predict_masks_batched(
+            self, images, self.size, self.threshold, min_bucket=self.n
+        )

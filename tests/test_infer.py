@@ -192,6 +192,29 @@ def test_predict_images_shape_bucketing():
         assert m.shape == (50 + i, 64)
 
 
+def test_variables_reassignment_refolds_head():
+    """Assigning new weights must refold the head: the folded constants
+    live inside the compiled programs, so a stale fold would silently
+    serve old-head masks with new-backbone features."""
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    va = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    vb = model.init(jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, 3)))
+    engine = InferenceEngine(va, in_channels=3, size=SIZE, dtype=jnp.float32)
+    fresh_b = InferenceEngine(vb, in_channels=3, size=SIZE, dtype=jnp.float32)
+
+    img = np.random.default_rng(3).integers(
+        0, 255, size=(1, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    out_a = np.asarray(engine._forward_whole(engine.variables, jnp.asarray(img)))
+    engine.variables = vb
+    out_b = np.asarray(engine._forward_whole(engine.variables, jnp.asarray(img)))
+    ref_b = np.asarray(
+        fresh_b._forward_whole(fresh_b.variables, jnp.asarray(img))
+    )
+    assert not np.allclose(out_a, out_b)
+    np.testing.assert_allclose(out_b, ref_b, atol=1e-6)
+
+
 def test_bucket_size():
     assert [InferenceEngine._bucket_size(b) for b in (1, 2, 3, 4, 5, 8, 9, 16)] == [
         1, 2, 4, 4, 8, 8, 16, 16,

@@ -267,19 +267,29 @@ def analyze(
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--batches", type=int, nargs="+", default=[32, 64, 128, 256])
-    p.add_argument("--size", type=int, default=SIZE)
+    p.add_argument(
+        "--size", type=int, default=None,
+        help="default: 512 for infer modes, 480 (the reference training "
+        "shape every committed ROOFLINE_* artifact uses) for "
+        "train/train_remat/instance",
+    )
     p.add_argument("--trials", type=int, default=3)
     p.add_argument(
         "--mode",
         choices=["infer", "infer_fused", "train", "train_remat", "instance"],
         default="infer",
         help="infer: r1 serving program; infer_fused: r2 folded-head "
-        "serving program; train: full fused train step (preprocess + "
-        "conditioned fwd/bwd + Adam) at the 480^2 training shape — "
-        "pass --size 480 with it",
+        "serving program; train/train_remat: full fused train step "
+        "(preprocess + conditioned fwd/bwd + Adam), without/with "
+        "jax.checkpoint; instance: the fused conditioned instance "
+        "pipeline (bench.py line 1)",
     )
     p.add_argument("--json", type=str, default=None, help="write results here")
     args = p.parse_args()
+    if args.size is None:
+        args.size = (
+            480 if args.mode in ("train", "train_remat", "instance") else SIZE
+        )
 
     rows = []
     for b in args.batches:
