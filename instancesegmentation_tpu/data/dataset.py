@@ -31,6 +31,29 @@ from instancesegmentation_tpu.core.records import (
 import os
 
 
+def body_keypoint_array(body: dict | None) -> np.ndarray:
+    """Common-format ``body_keypoint`` sub-dict -> [17, 3] (x, y, vis).
+
+    vis is 1.0 only for status=='vis' (only those render heatmaps,
+    reference train_instance.py:45-47); absent parts are (0, 0, 0).
+    Shared by the training dataset and the full-image eval/proposal
+    path, so GT keypoints condition inference exactly as in training.
+    """
+    out = np.zeros((len(ORDER_PART_NAMES), 3), dtype=np.float32)
+    if not isinstance(body, dict):
+        return out
+    status_key = key_combine("status", "keypoint_status")
+    point_key = key_combine("point", "point_xy")
+    for i, part in enumerate(ORDER_PART_NAMES):
+        kp = body.get(key_combine(part, "sub_dict"))
+        if not isinstance(kp, dict):
+            continue
+        x, y = kp.get(point_key, (0, 0))
+        vis = 1.0 if kp.get(status_key) == "vis" else 0.0
+        out[i] = (float(x), float(y), vis)
+    return out
+
+
 @dataclasses.dataclass
 class Sample:
     """One host-prepared training sample (fixed shapes)."""
@@ -89,23 +112,11 @@ class InstanceCommonDataset:
         return len(self.records)
 
     def keypoints_array(self, rec: dict) -> np.ndarray:
-        """[17, 3] (x, y, vis) in the reference's canonical part order.
-
-        vis is 1.0 only for status=='vis' (only those render heatmaps,
-        reference train_instance.py:45-47); absent parts are (0, 0, 0).
-        """
-        body = rec.get(key_combine("body_keypoint", "sub_dict"), {})
-        out = np.zeros((len(ORDER_PART_NAMES), 3), dtype=np.float32)
-        status_key = key_combine("status", "keypoint_status")
-        point_key = key_combine("point", "point_xy")
-        for i, part in enumerate(ORDER_PART_NAMES):
-            kp = body.get(key_combine(part, "sub_dict"))
-            if not isinstance(kp, dict):
-                continue
-            x, y = kp.get(point_key, (0, 0))
-            vis = 1.0 if kp.get(status_key) == "vis" else 0.0
-            out[i] = (float(x), float(y), vis)
-        return out
+        """[17, 3] (x, y, vis) in the reference's canonical part order
+        (see module-level ``body_keypoint_array``)."""
+        return body_keypoint_array(
+            rec.get(key_combine("body_keypoint", "sub_dict"), {})
+        )
 
     def fetch(self, index: int) -> Sample:
         """Decode one sample and place it on the fixed canvas."""

@@ -31,14 +31,70 @@ _PART_OFFSETS = {
 }
 
 
+def _crossed_pair_specs(rng, h: int, w: int):
+    """Two same-color ellipses rotated +/-theta sharing one bounding box.
+
+    A mirrored-rotation ellipse pair has the identical axis-aligned
+    bbox (bbox half-extents are sqrt(a^2 cos^2 t + b^2 sin^2 t) — even
+    in t), so box/crop geometry carries zero information about which
+    instance is the target; the 17 keypoints are laid out in each
+    ellipse's own rotated frame and are the only disambiguator.
+    Returns [(box, mask, kp_xy[17,2], color), ...] for both instances.
+    """
+    import cv2
+
+    a_min = rng.uniform(22, 32)               # semi-minor (body half-width)
+    a_maj = rng.uniform(62, 85)               # semi-major (body half-length)
+    theta = rng.uniform(20.0, 38.0)           # degrees off vertical
+    t = np.deg2rad(theta)
+    # shared axis-aligned half-extents of BOTH rotated ellipses
+    half_w = np.sqrt((a_min * np.cos(t)) ** 2 + (a_maj * np.sin(t)) ** 2)
+    half_h = np.sqrt((a_min * np.sin(t)) ** 2 + (a_maj * np.cos(t)) ** 2)
+    cx = rng.uniform(half_w + 6, w - half_w - 6)
+    cy = rng.uniform(half_h + 6, h - half_h - 6)
+    box = [int(cx - half_w), int(cy - half_h), int(cx + half_w), int(cy + half_h)]
+    color = tuple(int(c) for c in rng.integers(120, 255, size=3))
+
+    out = []
+    for sign in (+1.0, -1.0):
+        ang = sign * theta
+        mask = np.zeros((h, w), dtype=np.uint8)
+        # cv2.ellipse: axes=(along-x, along-y) before rotation by `ang`
+        # degrees; body frame = minor along x, major along y
+        cv2.ellipse(mask, (int(cx), int(cy)), (int(a_min), int(a_maj)),
+                    float(ang), 0, 360, 255, -1)
+        # keypoints in the same rotated body frame (cv2's screen-coords
+        # rotation: +angle rotates x-axis toward +y since y points down)
+        ca, sa = np.cos(np.deg2rad(ang)), np.sin(np.deg2rad(ang))
+        kp = np.zeros((len(ORDER_PART_NAMES), 2), np.float32)
+        for p_i, part in enumerate(ORDER_PART_NAMES):
+            ox, oy = _PART_OFFSETS[part]
+            lx = (ox - 0.5) * 2 * a_min * 0.9   # body frame, within ellipse
+            ly = (oy - 0.5) * 2 * a_maj * 0.9
+            kp[p_i] = (cx + lx * ca - ly * sa, cy + lx * sa + ly * ca)
+        out.append((box, mask, kp, color))
+    return out
+
+
 def make_synthetic_dataset(
     out_dir: str,
     num_images: int = 8,
     image_hw: tuple[int, int] = (240, 320),
     objects_per_image: int = 1,
     seed: int = 0,
+    crossed_pairs: bool = False,
 ) -> str:
-    """Write a synthetic common-format dataset and return ``out_dir``."""
+    """Write a synthetic common-format dataset and return ``out_dir``.
+
+    ``crossed_pairs`` generates the keypoint-conditioning stress case
+    (the occluded-person regime OCHuman exists for): each image holds
+    one pair of SAME-color ellipses rotated +/-theta around a SHARED
+    bounding box, so the image + crop window alone cannot identify the
+    target instance — only its keypoints (laid out along each ellipse's
+    major axis) can.  An unconditioned model caps out near the
+    pair-overlap IoU on such data; a conditioned one can separate them.
+    ``objects_per_image`` is ignored in this mode (always 2).
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -54,7 +110,41 @@ def make_synthetic_dataset(
         os.makedirs(os.path.join(out_dir, "instance_mask", name), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "class_mask", name), exist_ok=True)
 
-        for j in range(objects_per_image):
+        if crossed_pairs:
+            specs = _crossed_pair_specs(rng, h, w)
+        else:
+            specs = None
+
+        n_objs = 2 if crossed_pairs else objects_per_image
+        for j in range(n_objs):
+            if crossed_pairs:
+                box, mask, kp_xy, color = specs[j]
+                img[mask > 0] = color
+                masks.append(mask)
+                x0, y0 = box[0], box[1]
+                bw, bh = box[2] - box[0], box[3] - box[1]
+                body = {}
+                for p_i, part in enumerate(ORDER_PART_NAMES):
+                    body[key_combine(part, "sub_dict")] = {
+                        key_combine("status", "keypoint_status"): "vis",
+                        key_combine("point", "point_xy"): [
+                            int(kp_xy[p_i, 0]),
+                            int(kp_xy[p_i, 1]),
+                        ],
+                    }
+
+                mask_rel = os.path.join("instance_mask", name, f"{j}.png")
+                cv2.imwrite(os.path.join(out_dir, mask_rel), mask)
+                objs.append(
+                    {
+                        key_combine("box", "box_xyxy"): box,
+                        key_combine("class", "class"): "person",
+                        key_combine("instance_mask", "mask_path"): mask_rel,
+                        key_combine("body_keypoint", "sub_dict"): body,
+                    }
+                )
+                continue
+
             bw = int(rng.uniform(70, min(140, w - 20)))
             bh = int(rng.uniform(80, min(180, h - 20)))
             x0 = int(rng.uniform(0, w - bw))

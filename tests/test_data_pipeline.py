@@ -146,3 +146,47 @@ def test_batch_iterator_pad_last(ds):
     )
     assert len(batches) == 3  # 12 samples -> 5,5,2->padded 5
     assert batches[-1]["image"].shape[0] == 5
+
+
+def test_crossed_pairs_generator(tmp_path):
+    """Crossed-pair mode (keypoint-conditioning stress case): both
+    instances share ONE bounding box and color, overlap only partially,
+    and every keypoint lies inside its own instance mask — so the crop
+    geometry carries no information about the target and only the
+    keypoints disambiguate."""
+    import cv2
+    import os
+
+    from instancesegmentation_tpu.core.keys import key_combine
+    from instancesegmentation_tpu.core.records import ROOT_KEY, common_ann_loader
+    from instancesegmentation_tpu.data.dataset import (
+        InstanceCommonDataset,
+        body_keypoint_array,
+    )
+
+    d = str(tmp_path / "crossed")
+    make_synthetic_dataset(d, num_images=3, seed=17, crossed_pairs=True)
+    k_objs = key_combine("object", "sub_list")
+    k_mask = key_combine("instance_mask", "mask_path")
+    k_box = key_combine("box", "box_xyxy")
+    k_body = key_combine("body_keypoint", "sub_dict")
+    n_imgs = 0
+    for ann in common_ann_loader(d):
+        root = ann[ROOT_KEY]
+        masks, boxes = [], []
+        for obj in ann[k_objs]:
+            m = cv2.imread(os.path.join(root, obj[k_mask]), cv2.IMREAD_GRAYSCALE)
+            kp = body_keypoint_array(obj.get(k_body))
+            assert (kp[:, 2] == 1.0).all()
+            for x, y, _ in kp:
+                assert m[int(y), int(x)] > 0, "keypoint outside own mask"
+            masks.append(m > 0)
+            boxes.append(obj[k_box])
+        assert boxes[0] == boxes[1], "pair must share one box"
+        inter = np.logical_and(*masks).sum()
+        union = np.logical_or(*masks).sum()
+        assert 0.05 < inter / union < 0.6, "pair overlap out of range"
+        n_imgs += 1
+    assert n_imgs == 3
+    # every instance passes the reference eligibility filter
+    assert len(InstanceCommonDataset(d)) == 6

@@ -42,7 +42,7 @@ sys.path.insert(0, REPO)
 
 
 def _prepare_crops(data_dir: str, n_images: int, seed: int, out_size: int,
-                   canvas: int = 192):
+                   canvas: int = 192, image_hw: tuple = (240, 320)):
     """Synthetic common-format dataset -> deterministic crop tensors."""
     import jax
 
@@ -55,7 +55,7 @@ def _prepare_crops(data_dir: str, n_images: int, seed: int, out_size: int,
     from instancesegmentation_tpu.data.synthetic import make_synthetic_dataset
 
     make_synthetic_dataset(data_dir, num_images=n_images, objects_per_image=1,
-                           seed=seed)
+                           seed=seed, image_hw=image_hw)
     ds = InstanceCommonDataset(data_dir, canvas=canvas)
     batch = host_batch([ds.fetch(i) for i in range(len(ds))])
     aug = AugmentConfig(out_size=(out_size, out_size))
@@ -207,6 +207,14 @@ def main(argv=None) -> int:
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--canvas", type=int, default=192,
+                        help="host canvas side (use 640 for the 480px "
+                             "reference operating point)")
+    parser.add_argument("--image-h", type=int, default=240)
+    parser.add_argument("--image-w", type=int, default=320,
+                        help="synthetic source image size; scale up with "
+                             "--out-size so crop upsampling factors match "
+                             "the reference's COCO regime")
     args = parser.parse_args(argv)
 
     import jax
@@ -218,11 +226,13 @@ def main(argv=None) -> int:
     workdir = args.workdir or tempfile.mkdtemp(prefix="parity_")
     train = _prepare_crops(
         os.path.join(workdir, "train"), args.train_images, seed=11,
-        out_size=args.out_size,
+        out_size=args.out_size, canvas=args.canvas,
+        image_hw=(args.image_h, args.image_w),
     )
     val = _prepare_crops(
         os.path.join(workdir, "val"), args.val_images, seed=97,
-        out_size=args.out_size,
+        out_size=args.out_size, canvas=args.canvas,
+        image_hw=(args.image_h, args.image_w),
     )
     batches = _batch_order(train[0].shape[0], args.batch, args.epochs, seed=3)
     print(f"{train[0].shape[0]} train / {val[0].shape[0]} val crops, "
@@ -242,6 +252,8 @@ def main(argv=None) -> int:
             "steps": len(batches),
             "batch": args.batch,
             "crop": args.out_size,
+            "canvas": args.canvas,
+            "source_image_hw": [args.image_h, args.image_w],
             "train_crops": int(train[0].shape[0]),
             "val_crops": int(val[0].shape[0]),
             "reference_repair": "train_batch arity bug (SURVEY.md §2.3.1): "
