@@ -44,9 +44,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timed(fn, *args) -> float:
@@ -59,14 +63,20 @@ def _timed(fn, *args) -> float:
     return dt
 
 
-def measure_bandwidth(mb: int = 256, iters: int = 50) -> dict:
+def measure_bandwidth(mb: int = 2048, iters: int = 20) -> dict:
     """Achievable HBM stream bandwidth: fori_loop of x <- x*a+b over a
-    ``mb``-MB f32 array; one iteration = read N + write N bytes."""
+    ``mb``-MB f32 array; one iteration = read N + write N bytes.
+
+    The array is created ON DEVICE (jit'd ones) — device_put through the
+    axon tunnel uploads at ~60 MB/s and would dominate.  Measured sweep
+    (this chip): 256 MB -> 381 GB/s, 1 GB -> 407, 2 GB -> 479; the
+    asymptote is ~500 GB/s with a ~0.3 ms fixed per-dispatch overhead,
+    so the default is the largest size that fits comfortably."""
     import jax
     import jax.numpy as jnp
 
     n = mb * 1024 * 1024 // 4
-    x = jax.device_put(jnp.ones((n,), jnp.float32))
+    x = jax.jit(lambda: jnp.ones((n,), jnp.float32))()
 
     @jax.jit
     def loop(x):
@@ -96,15 +106,21 @@ def measure_bandwidth(mb: int = 256, iters: int = 50) -> dict:
 # activations, in-read + out-write per conv/pool, elementwise fused).
 # Format: (name, H_in, C_in, H_out, C_out).  Residual adds re-read the
 # saved tensor: counted as an extra read entry (C_out at H_out).
-def conv_floor_bytes(size: int = 512) -> int:
+def conv_floor_by_span(size: int = 512) -> dict:
+    """Per-span conv-floor bytes: {span_name: bytes}.  Spans match
+    ``measure_spans`` exactly (stem / s1 / s2s3 / dec / head)."""
     s = size
-    t = []  # (H_in, C_in, H_out, C_out)
+    t = []  # (span, H_in, C_in, H_out, C_out)
+    cur_span = ["stem"]
+
+    def span(name):
+        cur_span[0] = name
 
     def conv(h_in, c_in, h_out, c_out):
-        t.append((h_in, c_in, h_out, c_out))
+        t.append((cur_span[0], h_in, c_in, h_out, c_out))
 
     def extra_read(h, c):
-        t.append((h, c, 0, 0))
+        t.append((cur_span[0], h, c, 0, 0))
 
     # init_head_s4: two k5s2 convs + maxpool4 (input re-read) + concat
     conv(s, 3, s // 2, 16)
@@ -112,6 +128,7 @@ def conv_floor_bytes(size: int = 512) -> int:
     conv(s, 3, s // 4, 3)            # maxpool4 (read input again)
     # concat 16+3 -> 19 assumed fused into the consumer reads
     # bottle1_1 BottleneckDown2 19->48 at /8 (+ pooled shortcut 1x1)
+    span("s1")
     conv(s // 4, 19, s // 8, 48)
     conv(s // 4, 19, s // 8, 19)     # maxpool2
     conv(s // 8, 19, s // 8, 48)     # 1x1 projection
@@ -123,6 +140,7 @@ def conv_floor_bytes(size: int = 512) -> int:
         conv(s // 8, 16, s // 8, 48)
         extra_read(s // 8, 48)       # residual re-read
     # bottle2_1 Down2 48->128 at /16
+    span("s2s3")
     conv(s // 8, 48, s // 16, 128)
     conv(s // 8, 48, s // 16, 48)
     conv(s // 16, 48, s // 16, 128)
@@ -157,6 +175,7 @@ def conv_floor_bytes(size: int = 512) -> int:
     extra_read(s // 16, 128)
     # bottle4_1 UpRes(128->48) at /8 (conv-before-upsample form) +
     # skip path reads pooled(48ch at /16 -> upsample) and merges
+    span("dec")
     conv(s // 16, 128, s // 16, 16)
     conv(s // 16, 16, s // 8, 48)    # convtranspose k4s2
     conv(s // 16, 128 + 128, s // 16, 48)  # skip 1x1 over concat(res, pool)
@@ -182,13 +201,20 @@ def conv_floor_bytes(size: int = 512) -> int:
     conv(s // 4, 4, s // 4, 16)
     extra_read(s // 4, 16)
     # folded head: phase conv 16 -> 16 phases at /4 + pixel shuffle
+    span("head")
     conv(s // 4, 16, s // 4, 16)
     conv(s // 4, 16, s, 1)           # pixel shuffle write at /1
 
-    total = 0
-    for h_in, c_in, h_out, c_out in t:
-        total += h_in * h_in * c_in * 2 + h_out * h_out * c_out * 2
-    return total
+    out: dict = {}
+    for name, h_in, c_in, h_out, c_out in t:
+        out[name] = out.get(name, 0) + (
+            h_in * h_in * c_in * 2 + h_out * h_out * c_out * 2
+        )
+    return out
+
+
+def conv_floor_bytes(size: int = 512) -> int:
+    return sum(conv_floor_by_span(size).values())
 
 
 def absolute_floor_bytes(size: int = 512) -> int:
@@ -257,6 +283,206 @@ def measure_implied(size: int = 512, batch: int = 128, iters: int = 30) -> dict:
     }
 
 
+def _span_models(size: int):
+    """Flax wrappers for the five serving spans, with input shapes.
+
+    Boundaries match ``conv_floor_by_span``: stem (u8 image -> /4
+    feature), s1 (/4 -> /8), s2s3 (/8 -> /16, incl. cat2), dec
+    (/16 + skips -> /4 16ch), head (folded section 6 + sigmoid).
+    """
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from instancesegmentation_tpu.models.layers import (
+        Bottleneck3x3,
+        Bottleneck5x5,
+        BottleneckDim,
+        BottleneckDimRes,
+        BottleneckDown2,
+        BottleneckUpRes,
+        InitHeadS4,
+    )
+
+    kw = dict(dtype=jnp.bfloat16)
+    s = size
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, img_u8):
+            x = img_u8.astype(jnp.bfloat16) * jnp.bfloat16(1 / 127.5) - 1.0
+            return InitHeadS4(planes=16, name="init_conv", **kw)(x, False)
+
+    class S1(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y, pool = BottleneckDown2(16, 48, name="bottle1_1", **kw)(x, False)
+            for i in range(4):
+                y = Bottleneck3x3(16, name=f"bottle1_x_{i}", **kw)(y, False)
+            # pool is a decoder skip; return its corner so it is live
+            return y, pool[:, :1, :1, :]
+
+    class S23(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            b2_down, b2_pool = BottleneckDown2(16, 128, name="bottle2_1", **kw)(x, False)
+            y = Bottleneck3x3(48, name="bottle2_x_0", **kw)(b2_down, False)
+            y = Bottleneck3x3(48, dilation=2, name="bottle2_x_1", **kw)(y, False)
+            y = Bottleneck3x3(48, name="bottle2_x_2", **kw)(y, False)
+            y = Bottleneck3x3(48, dilation=4, name="bottle2_x_3", **kw)(y, False)
+            y = Bottleneck5x5(48, name="bottle2_x_4", **kw)(y, False)
+            cat2 = jnp.concatenate([y, b2_down], axis=-1)
+            y = BottleneckDimRes(48, 128, use_prelu=True, name="bottle3_1", **kw)(cat2, False)
+            y = Bottleneck3x3(48, name="bottle3_x_0", **kw)(y, False)
+            y = Bottleneck3x3(48, dilation=2, name="bottle3_x_1", **kw)(y, False)
+            y = Bottleneck3x3(48, name="bottle3_x_2", **kw)(y, False)
+            y = Bottleneck3x3(48, dilation=4, name="bottle3_x_3", **kw)(y, False)
+            y = Bottleneck5x5(48, name="bottle3_x_4", **kw)(y, False)
+            return y, b2_pool[:, :1, :1, :]
+
+    class Dec(nn.Module):
+        @nn.compact
+        def __call__(self, b3_8, b2_pool, b1_down, b1_pool):
+            y = BottleneckUpRes(16, 48, skip_channels=48, name="bottle4_1up", **kw)(
+                b3_8, b2_pool, False
+            )
+            cat1 = jnp.concatenate([b1_down, y], axis=-1)
+            y = BottleneckDimRes(16, 48, use_prelu=False, name="bottle4_2", **kw)(cat1, False)
+            y = BottleneckDim(16, 48, use_prelu=False, name="bottle4_3", **kw)(y, False)
+            y = BottleneckUpRes(4, 16, skip_channels=19, name="bottle5_1up", **kw)(
+                y, b1_pool, False
+            )
+            return BottleneckDim(4, 16, use_prelu=False, name="bottle5_2", **kw)(y, False)
+
+    u8 = ("uint8",)
+    bf = ("bfloat16",)
+    return {
+        "stem": (Stem(), [((s, s, 3),) + u8]),
+        "s1": (S1(), [((s // 4, s // 4, 19),) + bf]),
+        "s2s3": (S23(), [((s // 8, s // 8, 48),) + bf]),
+        "dec": (
+            Dec(),
+            [
+                ((s // 16, s // 16, 128),) + bf,
+                ((s // 16, s // 16, 48),) + bf,
+                ((s // 8, s // 8, 48),) + bf,
+                ((s // 8, s // 8, 19),) + bf,  # b1_pool = maxpool2(init /4)
+            ],
+        ),
+    }
+
+
+def measure_spans(
+    size: int = 512, batch: int = 128, iters: int = 30,
+    bw_gbps: float | None = None,
+) -> dict:
+    """Time each serving span with the fori_loop methodology and report
+    us/img, implied MB/img at the measured stream bandwidth, and the
+    per-span conv floor.  The 'head' span is measured as (full - sum of
+    truncated spans is NOT valid); instead it times fold_head apply
+    standalone on the /4 feature."""
+    import jax
+    import jax.numpy as jnp
+
+    if bw_gbps is None:
+        bw_gbps = measure_bandwidth()["achieved_gb_per_s"]
+
+    floors = conv_floor_by_span(size)
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def time_span(name, model, in_shapes):
+        inputs = []
+        for shp, dt in in_shapes:
+            if dt == "uint8":
+                a = rng.integers(0, 255, size=(batch,) + shp, dtype=np.uint8)
+                inputs.append(jax.device_put(jnp.asarray(a)))
+            else:
+                a = rng.normal(size=(batch,) + shp).astype(np.float32)
+                inputs.append(jax.device_put(jnp.asarray(a, jnp.bfloat16)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+
+        @jax.jit
+        def loop(*ins):
+            def body(i, carry):
+                acc, x0, rest = carry
+                out = model.apply(variables, x0, *rest)
+                main = out[0] if isinstance(out, tuple) else out
+                acc = acc + jnp.sum(main[:1, :1].astype(jnp.float32))
+                bump = (acc > jnp.float32(1e30)).astype(x0.dtype)
+                x0 = x0.at[(0,) * x0.ndim].add(bump)
+                return acc, x0, rest
+
+            acc, _, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.zeros((), jnp.float32), ins[0], ins[1:])
+            )
+            return acc
+
+        dt = _timed(loop, *inputs)
+        us_img = dt / (batch * iters) * 1e6
+        implied_mb = us_img * 1e-6 * bw_gbps * 1e9 / 1e6
+        floor_mb = floors.get(name, 0) / 1e6
+        results[name] = {
+            "us_per_img": round(us_img, 2),
+            "implied_mb_per_img": round(implied_mb, 2),
+            "conv_floor_mb": round(floor_mb, 2),
+            "implied_over_floor": round(implied_mb / floor_mb, 2) if floor_mb else None,
+        }
+
+    for name, (model, in_shapes) in _span_models(size).items():
+        time_span(name, model, in_shapes)
+
+    # head span: folded section-6 head + sigmoid on the /4 feature
+    from instancesegmentation_tpu.models.fused_head import fold_head, head_apply
+    from instancesegmentation_tpu.models.segment import Segment
+
+    seg = Segment(in_channels=3, dtype=jnp.bfloat16)
+    variables = jax.jit(seg.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+    )
+    head = fold_head(variables["params"])
+    feat = jax.device_put(
+        jnp.asarray(
+            rng.normal(size=(batch, size // 4, size // 4, 16)).astype(np.float32),
+            jnp.bfloat16,
+        )
+    )
+
+    @jax.jit
+    def head_loop(x0):
+        def body(i, carry):
+            acc, x = carry
+            probs = jax.nn.sigmoid(head_apply(x, head, dtype=jnp.bfloat16))
+            acc = acc + jnp.sum(probs[:1, :1].astype(jnp.float32))
+            bump = (acc > jnp.float32(1e30)).astype(x.dtype)
+            return acc, x.at[0, 0, 0, 0].add(bump)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.zeros((), jnp.float32), x0))[0]
+
+    dt = _timed(head_loop, feat)
+    us_img = dt / (batch * iters) * 1e6
+    floor_mb = floors["head"] / 1e6
+    implied_mb = us_img * 1e-6 * bw_gbps * 1e9 / 1e6
+    results["head"] = {
+        "us_per_img": round(us_img, 2),
+        "implied_mb_per_img": round(implied_mb, 2),
+        "conv_floor_mb": round(floor_mb, 2),
+        "implied_over_floor": round(implied_mb / floor_mb, 2),
+    }
+
+    total_us = sum(r["us_per_img"] for r in results.values())
+    return {
+        "mode": "spans",
+        "size": size,
+        "batch": batch,
+        "bw_gbps": bw_gbps,
+        "spans": results,
+        "sum_us_per_img": round(total_us, 2),
+        "sum_img_per_s": round(1e6 / total_us, 1),
+        "note": "per-span fori_loop timing; sum excludes cross-span "
+                "fusion so it upper-bounds the full program",
+    }
+
+
 def try_profile(size: int = 512, batch: int = 128, out: str = "/tmp/jax_trace") -> dict:
     import glob
     import os
@@ -293,18 +519,24 @@ def try_profile(size: int = 512, batch: int = 128, out: str = "/tmp/jax_trace") 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="implied",
-                   choices=["bandwidth", "implied", "profile", "floor"])
+                   choices=["bandwidth", "implied", "profile", "floor", "spans"])
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--mb", type=int, default=256)
+    p.add_argument("--mb", type=int, default=2048)
+    p.add_argument("--bw", type=float, default=None,
+                   help="skip the bandwidth re-measure and use this GB/s")
     args = p.parse_args(argv)
     if args.mode == "bandwidth":
         out = measure_bandwidth(args.mb)
     elif args.mode == "implied":
         out = measure_implied(args.size, args.batch)
+    elif args.mode == "spans":
+        out = measure_spans(args.size, args.batch, bw_gbps=args.bw)
     elif args.mode == "floor":
+        spans = conv_floor_by_span(args.size)
         out = {"mode": "floor",
                "conv_floor_mb": round(conv_floor_bytes(args.size) / 1e6, 2),
+               "per_span_mb": {k: round(v / 1e6, 2) for k, v in spans.items()},
                "absolute_floor_mb": round(
                    absolute_floor_bytes(args.size) / 1e6, 3)}
     else:
