@@ -67,23 +67,36 @@ class Segment(nn.Module):
         heatmaps=None,
         train: bool = False,
         truncate_head: bool = False,
+        skip_stem: bool = False,
     ):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
-        if heatmaps is not None:
-            x = jnp.concatenate(
-                [images.astype(self.dtype), heatmaps.astype(self.dtype)], axis=-1
-            )
-        else:
-            x = images.astype(self.dtype)
-        assert x.shape[-1] == self.in_channels, (
-            f"input has {x.shape[-1]} channels, model expects {self.in_channels}"
-        )
-
         init_dim = 16 + self.in_channels
 
-        # init stem (ref :357-359)
-        init_down = InitHeadS4(planes=16, name="init_conv", **kw)(x, train)
+        if skip_stem:
+            # serving fast path: ``images`` is the PRE-COMPUTED stem
+            # output (models/fused_stem.stem_apply — the exact
+            # space-to-depth re-lowering of init_head_s4) at /4 with
+            # in_channels+16 channels.  Like truncate_head, always
+            # initialize with skip_stem=False so init_conv params exist.
+            assert heatmaps is None, "skip_stem expects pre-concatenated stem features"
+            assert images.shape[-1] == init_dim, (
+                f"stem features have {images.shape[-1]} channels, expected {init_dim}"
+            )
+            init_down = images.astype(self.dtype)
+        else:
+            if heatmaps is not None:
+                x = jnp.concatenate(
+                    [images.astype(self.dtype), heatmaps.astype(self.dtype)], axis=-1
+                )
+            else:
+                x = images.astype(self.dtype)
+            assert x.shape[-1] == self.in_channels, (
+                f"input has {x.shape[-1]} channels, model expects {self.in_channels}"
+            )
+
+            # init stem (ref :357-359)
+            init_down = InitHeadS4(planes=16, name="init_conv", **kw)(x, train)
 
         # section 1 (ref :362-375): /8, 48ch
         b1_down, b1_pool = BottleneckDown2(16, 48, name="bottle1_1", **kw)(init_down, train)
