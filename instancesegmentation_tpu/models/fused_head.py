@@ -45,6 +45,11 @@ class FoldedHead(NamedTuple):
     kernel: jax.Array   # [KC, KC, C_in, 1] conv-ready composite
     phase_kernel: jax.Array  # [3, 3, C_in, S*S] per-output-phase conv
     bias: jax.Array     # scalar interior bias
+    row_kernel: jax.Array  # [1, 3, 2*C_in, 2*S] top⊕bottom edge conv1d
+    col_kernel: jax.Array  # [3, 1, 2*C_in, 2*S] left⊕right edge conv1d
+    bias_rows: jax.Array   # [2, 3] (top/bottom) x (corner_l, interior, corner_r)
+    bias_cols: jax.Array   # [2] left/right interior-of-edge bias
+    corner_w: jax.Array    # [4, C_in] tl/tr/bl/br corner-pixel weights
     k1: jax.Array       # original bottle6_1 kernel [K1,K1,C_in,C_mid]
     b1: jax.Array       # [C_mid]
     k2: jax.Array       # original bottle6_2 kernel [K2,K2,C_mid,1]
@@ -130,47 +135,156 @@ def fold_head(params: dict) -> FoldedHead:
     yz = _convt(z, k1, K1 - 1 - P1) + b1
     bias = _conv(yz, k2, ((P2, P2), (P2, P2)))[0, S * ctr, S * ctr, 0] + b2[0]
 
+    row_kernel, col_kernel, bias_rows, bias_cols, corner_w = _edge_maps(
+        k1, b1, k2, b2
+    )
+
     return FoldedHead(
-        kernel=kernel, phase_kernel=pk, bias=bias, k1=k1, b1=b1, k2=k2, b2=b2
+        kernel=kernel, phase_kernel=pk, bias=bias,
+        row_kernel=row_kernel, col_kernel=col_kernel,
+        bias_rows=bias_rows, bias_cols=bias_cols, corner_w=corner_w,
+        k1=k1, b1=b1, k2=k2, b2=b2,
     )
 
 
-def _border_rows(x_strip, head: FoldedHead, side: str, dtype):
-    """Exact first/last P2 output rows from a 1-row input slice.
+def _edge_maps(k1, b1, k2, b2):
+    """Derive the exact affine maps (input edge line) -> (output edge
+    line) of the UNFUSED head, numerically.
 
-    ``side``: 'top' or 'bottom'.  The composite is only wrong on the
-    P2-px ring where bottle6_2's zero padding bites; output row 0
-    depends on y rows -P2..P2, and y rows 0..P2 depend only on x row 0
-    (m - S*i + P1 ∈ [0, K1) with m ≤ P2 ⇒ i = 0); symmetric at the
-    bottom.  Width is processed in full, so column padding is exact
-    here too (including corners).
+    Output row 0 depends only on input row 0 (m - S*i + P1 ∈ [0, K1)
+    with m ≤ P2 ⇒ i = 0), and both head convs are translation-invariant
+    maps of their zero-extended inputs — so each border line of the
+    output is a width-3 conv1d of the adjacent input line (S phase
+    outputs per low-res position) plus a bias profile that is constant
+    along the line except at the two corner pixels.  This replaces the
+    strip convt+conv correction chains with ONE tiny conv per axis
+    (top⊕bottom and left⊕right stacked block-diagonally on channels) —
+    measured on-chip in tools/head_experiment.py.
+
+    The conv1d is exact everywhere but the 4 corner output pixels: at
+    a corner the unfused head reads a zero-padded y column, while the
+    TI extension predicts the formula value of y there — so each
+    corner (which depends ONLY on the corresponding corner pixel of x:
+    y cols 0..P2 there come from x col 0 alone) gets its own [C]-dot
+    weight.
+
+    Returns (row_kernel [1,3,2C,2S], col_kernel [3,1,2C,2S],
+    bias_rows [2,3], bias_cols [2], corner_w [4,C] tl/tr/bl/br).
     """
-    k1 = head.k1.astype(dtype)
-    k2 = head.k2.astype(dtype)
-    y = _convt(x_strip.astype(dtype), k1, K1 - 1 - P1) + head.b1.astype(dtype)
-    # 1-row input -> K1 - 2*P1 = 4 rows = y rows 0..3 (top) / -4..-1
-    # (bottom); only the outermost P2+1 of those are used.
-    if side == "top":
-        band = y[:, : P2 + 1]                     # y rows 0..P2
-        out = _conv(band, k2, ((P2, 0), (P2, P2))) + head.b2.astype(dtype)
-        return out  # [N, P2, S*w, 1]
-    band = y[:, -(P2 + 1):]                       # y rows -P2-1..-1
-    out = _conv(band, k2, ((0, P2), (P2, P2))) + head.b2.astype(dtype)
-    return out
+    c_in = k1.shape[2]
+    W0 = 12  # canvas: center responses must clear the corners
+    ctr = W0 // 2
+
+    def run(x):
+        y = _convt(x, k1, K1 - 1 - P1) + b1
+        return _conv(y, k2, ((P2, P2), (P2, P2))) + b2
+
+    base = run(jnp.zeros((1, W0, W0, c_in), jnp.float32))[0, :, :, 0]
+    bias_rows = jnp.stack([
+        jnp.stack([base[0, 0], base[0, S * ctr], base[0, -1]]),
+        jnp.stack([base[-1, 0], base[-1, S * ctr], base[-1, -1]]),
+    ])
+    bias_cols = jnp.stack([base[S * ctr, 0], base[S * ctr, -1]])
+
+    # impulse canvases: top, bottom, left, right edge-center impulses
+    # plus the 4 corner impulses (tl, tr, bl, br)
+    eye = jnp.arange(c_in)
+    imp = jnp.zeros((8 * c_in, W0, W0, c_in), jnp.float32)
+    imp = imp.at[eye, 0, ctr, eye].set(1.0)
+    imp = imp.at[c_in + eye, -1, ctr, eye].set(1.0)
+    imp = imp.at[2 * c_in + eye, ctr, 0, eye].set(1.0)
+    imp = imp.at[3 * c_in + eye, ctr, -1, eye].set(1.0)
+    imp = imp.at[4 * c_in + eye, 0, 0, eye].set(1.0)
+    imp = imp.at[5 * c_in + eye, 0, -1, eye].set(1.0)
+    imp = imp.at[6 * c_in + eye, -1, 0, eye].set(1.0)
+    imp = imp.at[7 * c_in + eye, -1, -1, eye].set(1.0)
+    resp = run(imp)[..., 0]  # [8C, S*W0, S*W0]
+
+    corner_w = jnp.stack([
+        resp[4 * c_in:5 * c_in, 0, 0] - base[0, 0],
+        resp[5 * c_in:6 * c_in, 0, -1] - base[0, -1],
+        resp[6 * c_in:7 * c_in, -1, 0] - base[-1, 0],
+        resp[7 * c_in:, -1, -1] - base[-1, -1],
+    ])  # [4, C]
+
+    # out[0, S*v+p] = Σ_δ T[δ, c, p] · x[0, v+δ-1, c]  ⇒  an impulse at
+    # column ctr lands at v = ctr+1-δ, i.e. T[δ,c,p] = r[c, S*(ctr+1-δ)+p]
+    def gather(lines, bias_line):
+        r = lines - bias_line  # [C, S*W0]
+        t = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(r, S * (ctr + 1 - d), S, axis=1)
+                for d in range(3)
+            ]
+        )  # [3, C, S]
+        return t
+
+    t_top = gather(resp[:c_in, 0, :], base[0, :])
+    t_bot = gather(resp[c_in:2 * c_in, -1, :], base[-1, :])
+    t_left = gather(resp[2 * c_in:3 * c_in, :, 0], base[:, 0])
+    t_right = gather(resp[3 * c_in:4 * c_in, :, -1], base[:, -1])
+
+    def block_diag(ta, tb):  # [3,C,S] x2 -> [3, 2C, 2S]
+        z = jnp.zeros_like(ta)
+        return jnp.concatenate(
+            [
+                jnp.concatenate([ta, z], axis=2),
+                jnp.concatenate([z, tb], axis=2),
+            ],
+            axis=1,
+        )
+
+    row_kernel = block_diag(t_top, t_bot)[None]            # [1,3,2C,2S]
+    col_kernel = block_diag(t_left, t_right)[:, None]      # [3,1,2C,2S]
+    return row_kernel, col_kernel, bias_rows, bias_cols, corner_w
 
 
-def _border_cols(x_strip, head: FoldedHead, side: str, dtype):
-    """Exact first/last P2 output columns, full height."""
-    k1 = head.k1.astype(dtype)
-    k2 = head.k2.astype(dtype)
-    y = _convt(x_strip.astype(dtype), k1, K1 - 1 - P1) + head.b1.astype(dtype)
-    if side == "left":
-        band = y[:, :, : P2 + 1]
-        out = _conv(band, k2, ((P2, P2), (P2, 0))) + head.b2.astype(dtype)
-        return out  # [N, S*h, P2, 1]
-    band = y[:, :, -(P2 + 1):]
-    out = _conv(band, k2, ((P2, P2), (0, P2))) + head.b2.astype(dtype)
-    return out
+def _edge_lines(x, head: FoldedHead, dtype):
+    """Exact output border lines via the width-3 phase conv1ds.
+
+    One [1,3] conv computes top⊕bottom, one [3,1] conv left⊕right (the
+    two lines ride the channel dim block-diagonally).  Zero conv
+    padding reproduces the unfused head's corner semantics exactly
+    (both head convs are TI maps of zero-extended inputs, _edge_maps).
+    Returns top, bot [N,1,S*w,1] (corners exact) and left, right
+    [N,S*h,1,1] whose outermost P2 rows are corner pixels carrying the
+    wrong (interior-of-edge) bias — the caller slices them off; the
+    row lines own the corners.
+    """
+    n, h, w, _ = x.shape
+    xd = x.astype(dtype)
+
+    rows_in = jnp.concatenate([xd[:, 0], xd[:, -1]], axis=-1)[:, None]
+    rows_out = _conv(
+        rows_in, head.row_kernel.astype(dtype), ((0, 0), (1, 1))
+    )  # [N, 1, w, 2S]
+    br = head.bias_rows.astype(dtype)
+
+    def profile(b3, length):
+        p = jnp.full((length,), b3[1], dtype)
+        return p.at[0].set(b3[0]).at[-1].set(b3[2])[None, None, :, None]
+
+    top = rows_out[..., :S].reshape(n, 1, S * w, 1) + profile(br[0], S * w)
+    bot = rows_out[..., S:].reshape(n, 1, S * w, 1) + profile(br[1], S * w)
+
+    # the conv1d is wrong only at the 4 corner pixels (zero-padded vs
+    # formula-extended y column, _edge_maps): overwrite with the exact
+    # corner dot of the corresponding x corner pixel
+    cw = head.corner_w.astype(dtype)
+    crn = lambda i, px: jnp.einsum("nc,c->n", px, cw[i])[:, None]
+    top = top.at[:, 0, 0].set(crn(0, xd[:, 0, 0]) + br[0, 0])
+    top = top.at[:, 0, -1].set(crn(1, xd[:, 0, -1]) + br[0, 2])
+    bot = bot.at[:, 0, 0].set(crn(2, xd[:, -1, 0]) + br[1, 0])
+    bot = bot.at[:, 0, -1].set(crn(3, xd[:, -1, -1]) + br[1, 2])
+
+    cols_in = jnp.concatenate([xd[:, :, 0], xd[:, :, -1]], axis=-1)[:, :, None]
+    cols_out = _conv(
+        cols_in, head.col_kernel.astype(dtype), ((1, 1), (0, 0))
+    )  # [N, h, 1, 2S]
+    bc = head.bias_cols.astype(dtype)
+    left = cols_out[..., :S].reshape(n, S * h, 1, 1) + bc[0]
+    right = cols_out[..., S:].reshape(n, S * h, 1, 1) + bc[1]
+    return top, bot, left, right
 
 
 def head_apply(x, head: FoldedHead, dtype: Any = jnp.float32):
@@ -196,12 +310,12 @@ def head_apply(x, head: FoldedHead, dtype: Any = jnp.float32):
     out = out + head.bias.astype(dtype)
     n, hh, ww, _ = out.shape
 
-    top = _border_rows(x[:, :1], head, "top", dtype)
-    bot = _border_rows(x[:, -1:], head, "bottom", dtype)
+    top, bot, left, right = _edge_lines(x, head, dtype)
     # left/right strips exclude the top/bottom P2 rows (those corners
-    # are already fully corrected by the row strips)
-    left = _border_cols(x[:, :, :1], head, "left", dtype)[:, P2:-P2]
-    right = _border_cols(x[:, :, -1:], head, "right", dtype)[:, P2:-P2]
+    # are already fully corrected by the row strips — and the conv1d
+    # column lines only carry the interior-of-edge bias)
+    left = left[:, P2:-P2]
+    right = right[:, P2:-P2]
 
     def pad_to_full(delta, pads_hw):
         (pt, pb), (pl, pr) = pads_hw
