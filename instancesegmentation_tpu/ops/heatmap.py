@@ -37,13 +37,22 @@ def render_heatmaps(
     h, w = out_hw
     r = math.sqrt(-math.log(threshold) * sigma * sigma)
 
-    # channels-LAST native: broadcast [H,W,1] coordinate grids against
+    # channels-LAST native: broadcast 1-D coordinate grids against
     # [1,1,K] keypoints so the whole render is one fused elementwise
-    # expression producing [H,W,K] directly.  The previous vmap-over-K
-    # + transpose([K,H,W]->[H,W,K]) materialized the stack twice (at
-    # 480x480x17 f32 that is ~31 MB/instance of pure relayout traffic).
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
+    # expression producing [H,W,K] directly.  (A vmap-over-K +
+    # transpose([K,H,W]->[H,W,K]) materialized the stack twice — at
+    # 480x480x17 f32 that is ~31 MB/instance of pure relayout traffic.)
+    #
+    # The Gaussian is rendered SEPARABLY: exp(-(dx²+dy²)/σ²) =
+    # exp(-dx²/σ²)·exp(-dy²/σ²), so the transcendentals are evaluated
+    # on [W,K]+[H,K] vectors (behind an optimization_barrier so XLA
+    # materializes them instead of re-fusing the exp into every output
+    # tile) and the [H,W,K] stack is a broadcast multiply.  Values
+    # differ from the fused-exponent form by ≤1 f32 ulp (tested at
+    # atol=1e-6 vs the reference golden), which vanishes in the bf16
+    # cast the pipeline feeds the model.
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
     pts = points_xy.astype(jnp.float32)
     x = pts[:, 0].reshape(1, 1, -1)
     y = pts[:, 1].reshape(1, 1, -1)
@@ -52,7 +61,11 @@ def render_heatmaps(
     x_max = jnp.minimum(float(w - 1), jnp.trunc(x + r + 1.0))
     y_min = jnp.maximum(0.0, jnp.trunc(y - r))
     y_max = jnp.minimum(float(h - 1), jnp.trunc(y + r + 1.0))
-    e = jnp.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (sigma * sigma))
+    inv = 1.0 / (sigma * sigma)
+    ex = jnp.exp(-((xs - x) ** 2) * inv)   # [1, W, K]
+    ey = jnp.exp(-((ys - y) ** 2) * inv)   # [H, 1, K]
+    ex, ey = jax.lax.optimization_barrier((ex, ey))
+    e = ex * ey
     inside = (xs >= x_min) & (xs < x_max) & (ys >= y_min) & (ys < y_max)
     return jnp.where(
         visible.reshape(1, 1, -1) & inside & (e > threshold), e, 0.0

@@ -78,13 +78,9 @@ def make_parallel_steps(model, tx, cfg, num_devices=None):
         images, heatmaps, masks = preprocess_batch(batch, rng, aug_train)
         inputs = _forward_inputs(cfg, images, heatmaps)
 
-        def fwd(params, *inputs):
-            return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                *inputs,
-                train=True,
-                mutable=["batch_stats"],
-            )
+        from instancesegmentation_tpu.train.steps import make_fwd
+
+        fwd = make_fwd(model, cfg, state.batch_stats, train=True)
 
         if getattr(cfg, "remat", False):
             fwd = jax.checkpoint(fwd)
@@ -125,7 +121,10 @@ def make_parallel_steps(model, tx, cfg, num_devices=None):
             batch, jax.random.PRNGKey(0), aug_eval
         )
         inputs = _forward_inputs(cfg, images, heatmaps)
-        logits = model.apply(variables, *inputs, train=False)
+        from instancesegmentation_tpu.train.steps import make_fwd
+
+        fwd = make_fwd(model, cfg, variables.get("batch_stats"), train=False)
+        logits, _ = fwd(variables["params"], *inputs)
         probs = jax.nn.sigmoid(logits)
         # per-sample IoUs come back batch-sharded (same signature as the
         # single-device eval step); the caller averages after tail dedup

@@ -74,6 +74,15 @@ class TrainConfig:
     # table), so trading FLOPs for activation traffic can pay.
     remat: bool = False
 
+    # run the training forward with the algebraically folded section-6
+    # head (models/fused_head.py): bottle6_1∘bottle6_2 computed as one
+    # phase conv + exact edge conv1ds, re-derived from the live params
+    # every step (differentiable, so gradients flow to the original
+    # bottle6_* params).  Same math; bf16 reduction order differs
+    # slightly from the unfused pair.  Measured on-chip: see ROOFLINE.md
+    # training section.
+    fused_head: bool = False
+
     # profiling (SURVEY.md §5 'tracing': jax.profiler traces +
     # step-time counters; 0 = off)
     profile_steps: int = 0         # trace N steady-state train steps

@@ -62,6 +62,51 @@ def _forward_inputs(cfg, images, heatmaps):
     return (images, None)
 
 
+def make_fwd(model, cfg, batch_stats, train: bool):
+    """Build the params -> (f32 logits, updates) forward.
+
+    With ``cfg.fused_head`` the section-6 head runs in its folded form
+    (models/fused_head.py), re-derived from the live params every call:
+    ``fold_head`` is plain differentiable jax, so gradients reach the
+    original bottle6_* params and the checkpoint layout is unchanged.
+    The head has no BN/activation (models/segment.py:122-124), so the
+    fold is valid in train mode; bf16 reduction order differs slightly
+    from the unfused pair (f32 training is exact).
+    """
+    use_fused = getattr(cfg, "fused_head", False)
+    if use_fused:
+        from instancesegmentation_tpu.models.fused_head import (
+            fold_head,
+            head_apply,
+        )
+
+    def fwd(params, *inputs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if not use_fused:
+            if not train:
+                return model.apply(variables, *inputs, train=False), None
+            return model.apply(
+                variables, *inputs, train=True, mutable=["batch_stats"]
+            )
+        if train:
+            feats, updates = model.apply(
+                variables, *inputs, train=True, truncate_head=True,
+                mutable=["batch_stats"],
+            )
+        else:
+            feats = model.apply(
+                variables, *inputs, train=False, truncate_head=True
+            )
+            updates = None
+        head = fold_head(params)
+        logits = head_apply(feats, head, dtype=model.dtype).astype(
+            jnp.float32
+        )
+        return logits, updates
+
+    return fwd
+
+
 def make_train_step(model, tx, cfg) -> Callable:
     """Build the single-device jitted train step.
 
@@ -74,13 +119,7 @@ def make_train_step(model, tx, cfg) -> Callable:
         images, heatmaps, masks = preprocess_batch(batch, rng, aug)
         inputs = _forward_inputs(cfg, images, heatmaps)
 
-        def fwd(params, *inputs):
-            return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                *inputs,
-                train=True,
-                mutable=["batch_stats"],
-            )
+        fwd = make_fwd(model, cfg, state.batch_stats, train=True)
 
         if getattr(cfg, "remat", False):
             fwd = jax.checkpoint(fwd)
@@ -124,7 +163,8 @@ def make_eval_step(model, cfg) -> Callable:
             batch, jax.random.PRNGKey(0), aug
         )
         inputs = _forward_inputs(cfg, images, heatmaps)
-        logits = model.apply(variables, *inputs, train=False)
+        fwd = make_fwd(model, cfg, variables.get("batch_stats"), train=False)
+        logits, _ = fwd(variables["params"], *inputs)
         probs = jax.nn.sigmoid(logits)
         return images, probs, masks, per_sample_mask_iou(probs, masks)
 

@@ -314,3 +314,56 @@ def test_remat_step_bit_identical():
     l1, p1 = run(True)
     assert l0 == l1
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_fused_head_step_trains_equivalently():
+    """--fused-head runs the training forward with the folded section-6
+    head re-derived from live params each step (train/steps.make_fwd).
+    In f32 the folded forward is exact (tests/test_fused_head.py), so
+    one step must produce near-identical loss/params (gradient
+    reduction order through the fold differs, so allclose not equal),
+    and identical BN stat updates (the head has no BN).  SGD rather
+    than Adam so the param delta reflects gradient closeness directly
+    (Adam's normalizer amplifies ~1-ulp gradient differences into
+    lr-scale param differences at step 1)."""
+    import optax
+
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+    from instancesegmentation_tpu.models.segment import Segment
+    from instancesegmentation_tpu.train.state import TrainState
+    from instancesegmentation_tpu.train.steps import make_train_step
+
+    size, canvas = 32, 64
+
+    def run(fused):
+        cfg = TrainConfig(
+            canvas=canvas, out_size=size, in_channels=20, bfloat16=False,
+            batch_size=2, fused_head=fused,
+        )
+        model = Segment(in_channels=20, dtype=jnp.float32)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, size, size, 17)),
+            train=False,
+        )
+        tx = optax.sgd(1e-3)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, cfg)
+        batch = {
+            k: jnp.asarray(v) for k, v in synthetic_host_batch(2, canvas).items()
+        }
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        leaves = jax.tree_util.tree_leaves(state.params)
+        stats = jax.tree_util.tree_leaves(state.batch_stats)
+        return (
+            float(m["loss"]),
+            np.concatenate([np.asarray(l).ravel() for l in leaves]),
+            np.concatenate([np.asarray(s).ravel() for s in stats]),
+        )
+
+    l0, p0, s0 = run(False)
+    l1, p1, s1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    np.testing.assert_allclose(p1, p0, atol=1e-6)
+    np.testing.assert_array_equal(s1, s0)

@@ -99,7 +99,7 @@ def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
 
 
 def build_train(batch_size: int, size: int = 480, canvas: int = 640,
-                remat: bool = False):
+                remat: bool = False, fused_head: bool = False):
     """Full training step: fused device preprocess (crop-warp + 17-ch
     heatmap render) + conditioned fwd/bwd + Adam update, single chip —
     exactly the program Trainer dispatches per step (train/steps.py).
@@ -121,6 +121,7 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640,
         flip_prob=0.5,
         jitter=0.1,
         remat=remat,
+        fused_head=fused_head,
     )
     model = Segment(in_channels=20, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -216,9 +217,10 @@ def build_instance(batch_size: int, size: int = 480, canvas: int = 640):
 def analyze(
     batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer"
 ) -> dict:
-    if mode in ("train", "train_remat"):
+    if mode in ("train", "train_remat", "train_fused"):
         single, bench_loop, args = build_train(
-            batch_size, size, remat=(mode == "train_remat")
+            batch_size, size, remat=(mode == "train_remat"),
+            fused_head=(mode == "train_fused"),
         )
     elif mode == "instance":
         single, bench_loop, args = build_instance(batch_size, size)
@@ -276,19 +278,23 @@ def main() -> None:
     p.add_argument("--trials", type=int, default=3)
     p.add_argument(
         "--mode",
-        choices=["infer", "infer_fused", "train", "train_remat", "instance"],
+        choices=["infer", "infer_fused", "train", "train_remat",
+                 "train_fused", "instance"],
         default="infer",
         help="infer: r1 serving program; infer_fused: r2 folded-head "
         "serving program; train/train_remat: full fused train step "
         "(preprocess + conditioned fwd/bwd + Adam), without/with "
-        "jax.checkpoint; instance: the fused conditioned instance "
+        "jax.checkpoint; train_fused: train step with the folded "
+        "section-6 head re-derived per step; instance: the fused "
+        "conditioned instance "
         "pipeline (bench.py line 1)",
     )
     p.add_argument("--json", type=str, default=None, help="write results here")
     args = p.parse_args()
     if args.size is None:
         args.size = (
-            480 if args.mode in ("train", "train_remat", "instance") else SIZE
+            480 if args.mode in ("train", "train_remat", "train_fused",
+                         "instance") else SIZE
         )
 
     rows = []
