@@ -105,13 +105,21 @@ def predict_masks_batched(
     return masks
 
 
-def build_instance_forward(model, in_channels: int, size: int, dtype, head):
+def build_instance_forward(model, in_channels: int, size: int, dtype, head,
+                           stem_fold=None):
     """Jitted fused instance program, shared by the single-chip and DP
     engines: warp params, crop-warp, heatmap render, truncated backbone
     + folded head, sigmoid, and the inverse warp back to the canvas
     frame — ONE XLA program.  ``head`` is a FoldedHead
     (models/fused_head.fold_head) matching the weights that will be
     passed as ``variables``.
+
+    ``stem_fold`` (a models/fused_stem_hm.FoldedStemHM, conditioned
+    checkpoints only) replaces the dense [S,S,17] heatmap render +
+    20-channel stem with the exact patch-folded stem: per-keypoint
+    48x48 patches + one-hot MXU placement, skipping ~15 MB/img of
+    heatmap-stack HBM round-trip (same math up to conv reduction
+    order; tests/test_fused_stem_hm.py).
     """
     from instancesegmentation_tpu.models.fused_head import head_apply
 
@@ -120,6 +128,17 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head):
         (models/fused_head.py): same f32-logit math as ``model.apply``,
         minus the [4H,4W,4] HBM intermediate."""
         feats = model.apply(variables, x, hm, train=False, truncate_head=True)
+        return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
+
+    def _apply_model_folded(variables, x, pts, vis):
+        """Conditioned forward with the patch-folded stem: no dense
+        heatmap stack ever touches HBM."""
+        from instancesegmentation_tpu.models.fused_stem_hm import stem_hm_apply
+
+        feats0 = stem_hm_apply(x, pts, vis, stem_fold, dtype=dtype)
+        feats = model.apply(
+            variables, feats0, train=False, skip_stem=True, truncate_head=True
+        )
         return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
 
     @jax.jit
@@ -166,12 +185,15 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head):
                 lambda p, s, o: warp_points(p, WarpParams(s, o))
             )(kps[..., :2], params.scale, params.offset)
             vis = kps[..., 2] > 0.5
-            hm = jax.vmap(
-                lambda p, v: render_heatmaps(p, v, out_hw)
-            )(pts, vis).astype(dtype)
+            if stem_fold is not None:
+                logits = _apply_model_folded(variables, x, pts, vis)
+            else:
+                hm = jax.vmap(
+                    lambda p, v: render_heatmaps(p, v, out_hw)
+                )(pts, vis).astype(dtype)
+                logits = _apply_model(variables, x, hm)
         else:
-            hm = None
-        logits = _apply_model(variables, x, hm)
+            logits = _apply_model(variables, x, None)
         probs = jax.nn.sigmoid(logits)
         # inverse warp back into the canvas frame
         inv_scale = 1.0 / params.scale
@@ -249,12 +271,26 @@ class InferenceEngine:
         size: int = 512,
         dtype=jnp.bfloat16,
         threshold: float = 0.5,
+        fused_stem: bool = False,
+        quant: Optional[dict] = None,
     ):
-        self.model = Segment(in_channels=in_channels, dtype=dtype)
+        """``quant``: a calibrated ``quant`` collection
+        (models/quantize.calibrate) switches the backbone convs to the
+        int8 PTQ path; the folded head stays float.  ``fused_stem``
+        folds the 17-channel heatmap conditioning through the stem as
+        keypoint patches (models/fused_stem_hm) — composes with
+        ``quant`` (the folded stem stays float, interior convs
+        quantize)."""
+        self.model = Segment(
+            in_channels=in_channels, dtype=dtype,
+            quant_mode="int8" if quant is not None else "off",
+        )
         self.size = size
         self.threshold = threshold
         self.in_channels = in_channels
         self._dtype = dtype
+        self._fused_stem = fused_stem and in_channels > 3
+        self._quant = quant
         self.variables = variables  # property: folds head + builds programs
 
     @property
@@ -267,6 +303,8 @@ class InferenceEngine:
         programs, so the closed-over FoldedHead constants can never go
         stale against the backbone weights (new programs pay a fresh
         compile on first use — correct for new weights either way)."""
+        if self._quant is not None:
+            variables = {**variables, "quant": self._quant}
         self._variables = variables
         self._build_programs()
 
@@ -280,8 +318,14 @@ class InferenceEngine:
         # host, and every bucket program closes over the small
         # FoldedHead constants — not re-derived per dispatch
         head = fold_head(self._variables["params"])
+        stem_fold = None
+        if self._fused_stem and self._variables.get("batch_stats"):
+            from instancesegmentation_tpu.models.fused_stem_hm import fold_stem_hm
+
+            stem_fold = fold_stem_hm(self._variables)
         _apply_model, _forward_instance = build_instance_forward(
-            self.model, self.in_channels, self.size, dtype, head
+            self.model, self.in_channels, self.size, dtype, head,
+            stem_fold=stem_fold,
         )
 
         @jax.jit

@@ -82,12 +82,90 @@ def apply_act(act: Optional[str], x, module: nn.Module, name: str, dtype):
     raise ValueError(f"unknown activation {act!r}")
 
 
+class _Int8Conv(nn.Module):
+    """Drop-in int8 (PTQ) replacement for an ``nn.Conv(name="conv")``.
+
+    Identical param tree ({kernel, bias}, f32, same shapes/inits) so a
+    float checkpoint loads unchanged; adds one ``quant`` collection
+    variable ``amax`` (per-tensor input abs-max, filled by a
+    calibration pass — see models/quantize.py).
+
+    mode="calibrate": run the float conv, update ``amax`` (requires
+    ``mutable=["quant"]``) — numerically identical to the float path.
+    mode="int8": symmetric per-tensor input / per-out-channel weight
+    quantization, s8 x s8 -> s32 conv on the int8 MXU path, dequantized
+    in the epilogue.  Between consecutive quantized convs only the int8
+    tensor crosses HBM (the float producer fuses into the quantize op),
+    which is the point on this memory-bound net (ROOFLINE.md).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    feature_group_count: int
+    kernel_dilation: Tuple[int, int]
+    mode: str = "int8"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel", kaiming_normal_init,
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        amax = self.variable(
+            "quant", "amax", lambda: jnp.zeros((), jnp.float32)
+        )
+
+        def _conv(lhs, rhs, acc_t):
+            return jax.lax.conv_general_dilated(
+                lhs, rhs,
+                window_strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.feature_group_count,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=acc_t,
+            )
+
+        if self.mode == "calibrate":
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            y = _conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                      self.dtype)
+            return y + bias.astype(y.dtype)
+
+        s_in = jnp.maximum(amax.value, 1e-6) / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_in), -127, 127
+        ).astype(jnp.int8)
+        s_w = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12
+        ) / 127.0  # per out channel
+        kq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+        acc = _conv(xq, kq, jnp.int32)
+        y = acc.astype(jnp.float32) * (s_in * s_w) + bias
+        return y.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv2d(bias) + BatchNorm + activation (reference ``Conv``, ref :34-48).
 
     ``padding=None`` means torch-style autopad (k//2).  BatchNorm runs in
     float32 regardless of compute dtype; ``bn_axis_name`` enables
     cross-replica batch stats under shard_map/pmap.
+
+    ``quant_mode`` ("off" | "calibrate" | "int8") switches the conv to
+    the PTQ path at inference (train always runs float) — see
+    ``_Int8Conv`` / models/quantize.py.
     """
 
     features: int
@@ -99,24 +177,38 @@ class ConvBN(nn.Module):
     act: Optional[str] = "hardswish"
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = _pair(self.kernel)
         pad = self.padding if self.padding is not None else autopad(self.kernel)
-        x = nn.Conv(
-            self.features,
-            kernel_size=k,
-            strides=_pair(self.strides),
-            padding=_pad_pairs(pad),
-            feature_group_count=self.groups,
-            kernel_dilation=_pair(self.dilation),
-            use_bias=True,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=kaiming_normal_init,
-            name="conv",
-        )(x)
+        if self.quant_mode != "off" and not train:
+            x = _Int8Conv(
+                features=self.features,
+                kernel_size=k,
+                strides=_pair(self.strides),
+                padding=_pad_pairs(pad),
+                feature_group_count=self.groups,
+                kernel_dilation=_pair(self.dilation),
+                mode=self.quant_mode,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=k,
+                strides=_pair(self.strides),
+                padding=_pad_pairs(pad),
+                feature_group_count=self.groups,
+                kernel_dilation=_pair(self.dilation),
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=kaiming_normal_init,
+                name="conv",
+            )(x)
         # train: f32 batch statistics for numerical stability.
         # inference: BN is a per-channel affine — run it in the compute
         # dtype so bf16 activations stay bf16 end-to-end (halves the
@@ -194,16 +286,32 @@ class ConvTranspose(nn.Module):
 
 
 class RawConv(nn.Module):
-    """Plain Conv2d with bias, no BN/act (for the reference's raw convs)."""
+    """Plain Conv2d with bias, no BN/act (for the reference's raw convs).
+
+    ``quant_mode`` as in ConvBN (PTQ int8 path, inference only).
+    """
 
     features: int
     kernel: Union[int, Tuple[int, int]]
     padding: Union[int, Tuple[int, int]] = 0
     groups: int = 1
     dtype: Dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x):
+        if self.quant_mode != "off":
+            return _Int8Conv(
+                features=self.features,
+                kernel_size=_pair(self.kernel),
+                strides=(1, 1),
+                padding=_pad_pairs(self.padding),
+                feature_group_count=self.groups,
+                kernel_dilation=(1, 1),
+                mode=self.quant_mode,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         return nn.Conv(
             self.features,
             kernel_size=_pair(self.kernel),
@@ -237,10 +345,12 @@ class InitHeadS4(nn.Module):
     planes: int = 16
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         short = max_pool(x, 4, 4)
         y = ConvBN(self.planes, 5, 2, padding=2, act="prelu", name="layer1", **kw)(x, train)
         y = ConvBN(self.planes, 5, 2, padding=2, act="prelu", name="layer2", **kw)(y, train)
@@ -255,10 +365,12 @@ class Bottleneck3x3(nn.Module):
     dilation: int = 1
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         inplanes = x.shape[-1]
         y = ConvBN(self.planes, 1, act="prelu", name="convs_0", **kw)(x, train)
         y = ConvBN(
@@ -278,15 +390,17 @@ class Bottleneck5x5(nn.Module):
     planes: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         inplanes = x.shape[-1]
         y = ConvBN(self.planes, 1, act="prelu", name="convs_0", **kw)(x, train)
         y = RawConv(
             self.planes, (5, 1), padding=(2, 0), groups=self.planes,
-            dtype=self.dtype, name="convs_1",
+            dtype=self.dtype, quant_mode=self.quant_mode, name="convs_1",
         )(y)
         y = ConvBN(
             self.planes, (1, 5), padding=(0, 2), groups=self.planes,
@@ -307,10 +421,12 @@ class BottleneckDown2(nn.Module):
     outplanes: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         y = ConvBN(self.planes, 2, 2, padding=0, act="prelu", name="convs_0", **kw)(x, train)
         y = ConvBN(self.planes, 3, padding=1, groups=self.planes, act="prelu", name="convs_1", **kw)(y, train)
         y = ConvBN(self.outplanes, 1, act=None, name="convs_2", **kw)(y, train)
@@ -330,10 +446,12 @@ class BottleneckDimRes(nn.Module):
     use_prelu: bool
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         y = ConvBN(self.planes, 1, act="prelu", name="convs_0", **kw)(x, train)
         y = ConvBN(self.planes, 3, padding=1, groups=self.planes, act="prelu", name="convs_1", **kw)(y, train)
         y = ConvBN(self.outplanes, 1, act=None, name="convs_2", **kw)(y, train)
@@ -359,10 +477,12 @@ class BottleneckDim(nn.Module):
     use_prelu: bool
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         if self.use_prelu:
             y = ConvBN(self.planes, 1, act="prelu", name="convs_0", **kw)(x, train)
             y = ConvBN(self.planes, 3, padding=1, groups=self.planes, act="prelu", name="convs_1", **kw)(y, train)
@@ -393,10 +513,12 @@ class BottleneckUpRes(nn.Module):
     skip_channels: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
         y = ConvBN(self.planes, 1, act="relu", name="convs_0", **kw)(x, train)
         y = ConvTranspose(self.planes, 4, stride=2, padding=1, dtype=self.dtype, name="convs_1")(y)
         y = nn.BatchNorm(
@@ -423,6 +545,9 @@ class BottleneckUpRes(nn.Module):
         # were among the largest HBM buffers in the whole net, see
         # ROOFLINE.md).  Semantics equal to the reference's
         # upsample-then-conv (ref :321-331).
-        shortcut = RawConv(self.outplanes, 1, dtype=self.dtype, name="uppool_conv")(merged)
+        shortcut = RawConv(
+            self.outplanes, 1, dtype=self.dtype,
+            quant_mode=self.quant_mode, name="uppool_conv",
+        )(merged)
         shortcut = upsample_nearest_2x(shortcut)
         return nn.relu(y + shortcut)

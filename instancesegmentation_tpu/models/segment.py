@@ -55,6 +55,7 @@ class Segment(nn.Module):
     in_channels: int = 20
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant_mode: str = "off"
 
     # channel plan (ref :358-432)
     # init: C -> C+16 at /4; s1: 48 at /8; s2: 128 at /16;
@@ -69,7 +70,8 @@ class Segment(nn.Module):
         truncate_head: bool = False,
         skip_stem: bool = False,
     ):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant_mode=self.quant_mode)
 
         init_dim = 16 + self.in_channels
 

@@ -31,6 +31,8 @@ class ParallelInferenceEngine:
         dtype=jnp.bfloat16,
         num_devices: Optional[int] = None,
         threshold: float = 0.5,
+        fused_stem: bool = False,
+        quant: Optional[dict] = None,
     ):
         from instancesegmentation_tpu.models.segment import Segment
 
@@ -40,7 +42,12 @@ class ParallelInferenceEngine:
         self.in_channels = in_channels
         self.threshold = threshold
         self._dtype = dtype
-        self.model = Segment(in_channels=in_channels, dtype=dtype)
+        self._fused_stem = fused_stem and in_channels > 3
+        self._quant = quant
+        self.model = Segment(
+            in_channels=in_channels, dtype=dtype,
+            quant_mode="int8" if quant is not None else "off",
+        )
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
         self.variables = variables  # property: folds head + builds program
 
@@ -53,6 +60,8 @@ class ParallelInferenceEngine:
         """Assigning weights replicates them over the mesh, refolds the
         head, and rebuilds the jitted program — the folded constants can
         never go stale against the backbone weights."""
+        if self._quant is not None:
+            variables = {**variables, "quant": self._quant}
         self._variables = jax.device_put(
             variables, NamedSharding(self.mesh, P())
         )
@@ -73,8 +82,14 @@ class ParallelInferenceEngine:
         dtype = self._dtype
         in_channels = self.in_channels
         head = fold_head(self._variables["params"])
+        stem_fold = None
+        if self._fused_stem and self._variables.get("batch_stats"):
+            from instancesegmentation_tpu.models.fused_stem_hm import fold_stem_hm
+
+            stem_fold = fold_stem_hm(self._variables)
         apply_model, self._forward_instance = build_instance_forward(
-            self.model, in_channels, self.size, dtype, head
+            self.model, in_channels, self.size, dtype, head,
+            stem_fold=stem_fold,
         )
 
         @jax.jit

@@ -80,6 +80,31 @@ def test_predict_instances_mechanics(synth):
     assert probs.min() >= 0 and probs.max() <= 1
 
 
+def test_predict_instances_fused_stem_parity(synth):
+    """fused_stem=True (patch-folded conditioning, no dense heatmap
+    stack) serves the same masks as the dense render path — f32, so the
+    only delta is conv/BN reduction order."""
+    ds = InstanceCommonDataset(synth, canvas=192)
+    batch = host_batch([ds.fetch(i) for i in range(3)])
+    model = Segment(in_channels=20, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, SIZE, SIZE, 3)),
+        jnp.zeros((1, SIZE, SIZE, 17)),
+    )
+    dense = InferenceEngine(
+        variables, in_channels=20, size=SIZE, dtype=jnp.float32
+    )
+    folded = InferenceEngine(
+        variables, in_channels=20, size=SIZE, dtype=jnp.float32,
+        fused_stem=True,
+    )
+    p0, m0 = dense.predict_instances(batch)
+    p1, m1 = folded.predict_instances(batch)
+    np.testing.assert_allclose(p1, p0, atol=2e-4)
+    assert (m0 == m1).mean() > 0.999
+
+
 def test_cli_whole_image_mode(synth, tmp_path):
     out_dir = str(tmp_path / "masks")
     rc = infer_main([

@@ -118,6 +118,56 @@ def main(argv=None) -> int:
         )
         return jax.nn.sigmoid(head_apply(feats, head20, dtype=dt16))
 
+    from instancesegmentation_tpu.models.fused_stem_hm import (
+        fold_stem_hm,
+        stem_hm_apply,
+    )
+
+    stem_fold = fold_stem_hm(v20)
+
+    def fwd20_folded(images, pts, vis):
+        feats = stem_hm_apply(images, pts, vis, stem_fold, dtype=dt16)
+        feats = model20.apply(
+            v20, feats, train=False, skip_stem=True, truncate_head=True
+        )
+        return jax.nn.sigmoid(head_apply(feats, head20, dtype=dt16))
+
+    def full_folded(bt):
+        """Whole instance pipeline with the stem fold: crop-warp +
+        patch-rendered conditioning, no dense heatmap stack."""
+        from instancesegmentation_tpu.ops.warp import (
+            WarpParams,
+            center_translation,
+            clipped_mask_box,
+            instance_warp_params,
+            warp_image,
+            warp_points,
+        )
+
+        obj_box = bt["obj_box"].astype(jnp.float32)
+        image_hw = bt["image_hw"].astype(jnp.float32)
+        t = jax.vmap(center_translation)(obj_box, image_hw)
+        mask_box, mask_valid = jax.vmap(clipped_mask_box)(
+            bt["mask"], t, image_hw
+        )
+        params = jax.vmap(
+            lambda ob, mb, hw, mv: instance_warp_params(
+                ob, mb, hw, (out, out), 16, mv
+            )
+        )(obj_box, mask_box, image_hw, mask_valid)
+        imgs = jax.vmap(
+            lambda im, s, o: warp_image(
+                im.astype(jnp.float32), WarpParams(s, o), (out, out)
+            )
+        )(bt["image"], params.scale, params.offset)
+        x = (jnp.clip(imgs, 0.0, 255.0) / 127.5 - 1.0).astype(dt16)
+        kps = bt["keypoints"].astype(jnp.float32)
+        pts = jax.vmap(
+            lambda p, s, o: warp_points(p, WarpParams(s, o))
+        )(kps[..., :2], params.scale, params.offset)
+        vis = kps[..., 2] > 0.5
+        return fwd20_folded(x, pts, vis)
+
     def fwd3(images):
         feats = model3.apply(v3, images, train=False, truncate_head=True)
         return jax.nn.sigmoid(head_apply(feats, head3, dtype=dt16))
@@ -171,14 +221,23 @@ def main(argv=None) -> int:
         )
     )
 
+    kps0 = batch["keypoints"].astype(jnp.float32)
+    pts0 = kps0[..., :2] * (out / canvas)
+    vis0 = kps0[..., 2] > 0.5
+
     n = b * args.iters
     res = {"batch": b, "out": out, "canvas": canvas}
     for name, timed in [
         ("full", lambda: _timed(loop_batch(full), batch)),
+        ("full_folded", lambda: _timed(loop_batch(full_folded), batch)),
         ("preprocess", lambda: _timed(loop_batch(preprocess_only), batch)),
         ("warp", lambda: _timed(loop_batch(warp_only), batch)),
         ("heatmaps", lambda: _timed(loop_batch(heatmaps_only), batch)),
         ("fwd20", lambda: _timed(loop_inputs(fwd20, images0, hm0), images0, hm0)),
+        ("fwd20_folded", lambda: _timed(
+            loop_inputs(fwd20_folded, images0, pts0, vis0),
+            images0, pts0, vis0,
+        )),
         ("fwd3", lambda: _timed(loop_inputs(fwd3, images0), images0)),
     ]:
         res[f"{name}_us_per_img"] = round(timed() / n * 1e6, 2)
