@@ -37,10 +37,11 @@ Prints one JSON line per metric: {"metric", "value", "unit",
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 8.3  # torch-CPU reference anchor, 512px (BASELINE.md)
@@ -68,6 +69,66 @@ def _timed_loop(bench_loop, batch) -> float:
     return dt
 
 
+# --------------------------------------------------------------------------
+# Tunnel resilience (VERDICT r3 weak#1 / next#1): the axon remote backend
+# intermittently fails to initialize (`Unable to initialize backend 'axon':
+# UNAVAILABLE`), and round 3's official benchmark was erased by exactly one
+# such transient (BENCH_r03.json rc=1).  JAX memoizes backend-init *failures*
+# process-wide, so an in-process retry cannot recover — each attempt must be
+# a fresh interpreter.  The parent below re-execs this file as a child with
+# bounded retries + backoff and forwards ONLY the successful child's stdout,
+# keeping the driver's last-line JSON parse clean; rc stays honest (0 only if
+# a child produced the full set of metric lines).
+
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+_CHILD_ENV = "_BENCH_CHILD"
+
+
+def _is_metric_line(line: str) -> bool:
+    try:
+        d = json.loads(line)
+    except ValueError:
+        return False
+    return isinstance(d, dict) and "metric" in d and "value" in d
+
+
+def _supervise() -> int:
+    delay = 10.0
+    for attempt in range(1, ATTEMPTS + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, _CHILD_ENV: "1"},
+                capture_output=True,
+                text=True,
+                timeout=ATTEMPT_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write(
+                f"[bench] attempt {attempt}/{ATTEMPTS}: timed out after "
+                f"{ATTEMPT_TIMEOUT_S}s\n{(e.stderr or '')[-2000:]}\n"
+            )
+            r = None
+        if r is not None:
+            sys.stderr.write(r.stderr[-4000:])
+            lines = [l for l in r.stdout.splitlines() if _is_metric_line(l)]
+            if r.returncode == 0 and len(lines) >= 2:
+                sys.stdout.write("\n".join(lines) + "\n")
+                sys.stdout.flush()
+                return 0
+            sys.stderr.write(
+                f"[bench] attempt {attempt}/{ATTEMPTS} failed "
+                f"(rc={r.returncode}, metric_lines={len(lines)}); "
+                f"stdout tail: {r.stdout[-500:]!r}\n"
+            )
+        if attempt < ATTEMPTS:
+            sys.stderr.write(f"[bench] retrying in {delay:.0f}s\n")
+            time.sleep(delay)
+            delay = min(delay * 3, 120.0)
+    return 1
+
+
 def flagship_instance_metric() -> dict:
     """Fused instance pipeline (preprocess + conditioned forward) rate.
 
@@ -76,7 +137,9 @@ def flagship_instance_metric() -> dict:
     20-channel Segment forward, sigmoid — one XLA program
     (data.pipeline.preprocess_batch + models.segment).
     """
+    import jax
     import jax.lax as lax
+    import jax.numpy as jnp
 
     from instancesegmentation_tpu.data.pipeline import (
         AugmentConfig,
@@ -138,6 +201,9 @@ def flagship_instance_metric() -> dict:
 
 
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     from instancesegmentation_tpu.models.fused_head import fold_head, head_apply
     from instancesegmentation_tpu.models.segment import Segment
 
@@ -198,4 +264,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV) == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -55,6 +55,31 @@ class Affine:
         )
 
     @staticmethod
+    def rotate(degrees: float, out_hw) -> "Affine":
+        """``iaa.Affine(rotate=deg)`` semantics: rotate around the image
+        center ``(w/2 - 0.5, h/2 - 0.5)``, canvas size unchanged, content
+        leaving the canvas cut, vacated area black — the reference's
+        commented-out ±25° aug (train_instance.py:153-155), offered as
+        an enabled option.  Positive angles use the skimage/imgaug
+        rotation matrix ``[[c, -s], [s, c]]`` on (x, y)."""
+        import math
+
+        oh, ow = out_hw
+        th = math.radians(degrees)
+        c, s = math.cos(th), math.sin(th)
+        cx, cy = ow / 2.0 - 0.5, oh / 2.0 - 0.5
+        return Affine(
+            np.asarray(
+                [
+                    [c, -s, cx - c * cx + s * cy],
+                    [s, c, cy - s * cx - c * cy],
+                ],
+                np.float64,
+            ),
+            tuple(out_hw),
+        )
+
+    @staticmethod
     def hflip(out_hw) -> "Affine":
         oh, ow = out_hw
         return Affine(np.asarray([[-1, 0, ow], [0, 1, 0]], np.float64), tuple(out_hw))

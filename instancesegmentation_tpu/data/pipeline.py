@@ -60,6 +60,15 @@ class AugmentConfig:
     pad: int = 16
     flip_prob: float = 0.0
     jitter: float = 0.0            # window jitter fraction (+-)
+    rotate: float = 0.0            # max rotation degrees (+-); the
+                                   # reference's commented-out
+                                   # sometimes(0.6, Affine(rotate=(-25,25)))
+                                   # (train_instance.py:139-155).  0 keeps
+                                   # the separable MXU warp; >0 switches
+                                   # the batch to the gather-based rotated
+                                   # sampler (ops/warp.warp_image_rotated)
+    rotate_prob: float = 0.6       # per-sample probability a rotation is
+                                   # applied (imgaug Sometimes(0.6, ...))
     brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
     contrast: float = 0.0          # linear contrast range +-
     noise_std: float = 0.0         # additive gaussian noise std (0..255)
@@ -114,47 +123,111 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         batch["mask"], t, image_hw
     )
 
-    box_args = (obj_box, mask_box, image_hw, mask_valid)
-    if cfg.jitter > 0:
-        jitter = jax.random.uniform(
-            r_jit, (b, 4), minval=-cfg.jitter, maxval=cfg.jitter
-        )
-        params = jax.vmap(
-            lambda ob, mb, hw, mv, j: instance_warp_params(
-                ob, mb, hw, out_hw, cfg.pad, mv, j
-            )
-        )(*box_args, jitter)
-    else:
-        params = jax.vmap(
-            lambda ob, mb, hw, mv: instance_warp_params(ob, mb, hw, out_hw, cfg.pad, mv)
-        )(*box_args)
-
+    jitter = (
+        jax.random.uniform(r_jit, (b, 4), minval=-cfg.jitter, maxval=cfg.jitter)
+        if cfg.jitter > 0
+        else None
+    )
     flip = (
         jax.random.bernoulli(r_flip, cfg.flip_prob, (b,))
         if cfg.flip_prob > 0
         else jnp.zeros((b,), bool)
     )
-    base_params = params  # unflipped: keypoints map through these
-    flipped = jax.vmap(lambda s, o, lo, hi: flip_params_x(WarpParams(s, o, lo, hi), out_w))(
-        params.scale, params.offset, params.src_lo, params.src_hi
-    )
-    params = WarpParams(
-        scale=jnp.where(flip[:, None], flipped.scale, params.scale),
-        offset=jnp.where(flip[:, None], flipped.offset, params.offset),
-        src_lo=params.src_lo,
-        src_hi=params.src_hi,
-    )
 
-    def warp_one(img, mask, s, o, lo, hi):
-        p = WarpParams(s, o, lo, hi)
-        im = warp_image(img.astype(jnp.float32), p, out_hw)
-        mk = warp_image(mask[..., None].astype(jnp.float32), p, out_hw)
-        return im, mk
+    if cfg.rotate > 0:
+        # rotated chain: translate -> rotate-about-center -> crop+resize,
+        # sampled by the 4-tap gather path (ops/warp.py rotation section)
+        import math
 
-    images, masks = jax.vmap(warp_one)(
-        batch["image"], batch["mask"], params.scale, params.offset,
-        params.src_lo, params.src_hi,
-    )
+        from instancesegmentation_tpu.ops.warp import (
+            flip_rot_params_x,
+            rotated_instance_warp_params,
+            rotated_mask_box,
+            warp_image_rotated,
+            warp_points_rotated,
+        )
+
+        # fresh streams via fold_in: the 5-way split above keeps its
+        # exact layout so seeds reproduce across configs
+        gate = jax.random.bernoulli(
+            jax.random.fold_in(rng, 101), cfg.rotate_prob, (b,)
+        )
+        theta = jnp.where(
+            gate,
+            jax.random.uniform(
+                jax.random.fold_in(rng, 102), (b,), minval=-1.0, maxval=1.0
+            ) * (cfg.rotate * math.pi / 180.0),
+            0.0,
+        )
+        rot_box, rot_valid = jax.vmap(rotated_mask_box)(
+            batch["mask"], t, theta, image_hw
+        )
+        if jitter is not None:
+            params = jax.vmap(
+                lambda ob, rb, hw, th, rv, j: rotated_instance_warp_params(
+                    ob, rb, hw, th, out_hw, cfg.pad, rv, j
+                )
+            )(obj_box, rot_box, image_hw, theta, rot_valid, jitter)
+        else:
+            params = jax.vmap(
+                lambda ob, rb, hw, th, rv: rotated_instance_warp_params(
+                    ob, rb, hw, th, out_hw, cfg.pad, rv
+                )
+            )(obj_box, rot_box, image_hw, theta, rot_valid)
+        base_params = params
+        flipped = jax.vmap(lambda p: flip_rot_params_x(p, out_w))(params)
+        params = params._replace(
+            scale=jnp.where(flip[:, None], flipped.scale, params.scale),
+            origin=jnp.where(flip[:, None], flipped.origin, params.origin),
+        )
+        images, masks = jax.vmap(
+            lambda img, mask, p: (
+                warp_image_rotated(img.astype(jnp.float32), p, out_hw),
+                warp_image_rotated(
+                    mask[..., None].astype(jnp.float32), p, out_hw
+                ),
+            )
+        )(batch["image"], batch["mask"], params)
+        kps = batch["keypoints"].astype(jnp.float32)
+        pts = jax.vmap(warp_points_rotated)(kps[..., :2], base_params)
+    else:
+        box_args = (obj_box, mask_box, image_hw, mask_valid)
+        if jitter is not None:
+            params = jax.vmap(
+                lambda ob, mb, hw, mv, j: instance_warp_params(
+                    ob, mb, hw, out_hw, cfg.pad, mv, j
+                )
+            )(*box_args, jitter)
+        else:
+            params = jax.vmap(
+                lambda ob, mb, hw, mv: instance_warp_params(ob, mb, hw, out_hw, cfg.pad, mv)
+            )(*box_args)
+
+        base_params = params  # unflipped: keypoints map through these
+        flipped = jax.vmap(lambda s, o, lo, hi: flip_params_x(WarpParams(s, o, lo, hi), out_w))(
+            params.scale, params.offset, params.src_lo, params.src_hi
+        )
+        params = WarpParams(
+            scale=jnp.where(flip[:, None], flipped.scale, params.scale),
+            offset=jnp.where(flip[:, None], flipped.offset, params.offset),
+            src_lo=params.src_lo,
+            src_hi=params.src_hi,
+        )
+
+        def warp_one(img, mask, s, o, lo, hi):
+            p = WarpParams(s, o, lo, hi)
+            im = warp_image(img.astype(jnp.float32), p, out_hw)
+            mk = warp_image(mask[..., None].astype(jnp.float32), p, out_hw)
+            return im, mk
+
+        images, masks = jax.vmap(warp_one)(
+            batch["image"], batch["mask"], params.scale, params.offset,
+            params.src_lo, params.src_hi,
+        )
+        kps = batch["keypoints"].astype(jnp.float32)
+        pts = jax.vmap(lambda p_xy, s, o: warp_points(p_xy, WarpParams(s, o)))(
+            kps[..., :2], base_params.scale, base_params.offset
+        )
 
     # photometric augs on the [0, 255] scale (imgaug semantics:
     # Multiply / LinearContrast / AdditiveGaussianNoise, ref :188-191)
@@ -172,16 +245,14 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         images = images + cfg.noise_std * jax.random.normal(r_noise, images.shape)
 
     images = jnp.clip(images, 0.0, 255.0) / 127.5 - 1.0  # ToTensor+Normalize(.5,.5)
-    masks = masks / 255.0
+    # clip: bilinear tap-weight sums can overshoot 1 by ~1e-7 (targets
+    # must stay valid BCE probabilities)
+    masks = jnp.clip(masks / 255.0, 0.0, 1.0)
 
-    # keypoints -> output coords through the UNFLIPPED params, then
-    # mirrored in output space (x' = (w-1) - x, matching the pixel
+    # keypoints were mapped above through the UNFLIPPED params; mirror
+    # them in output space here (x' = (w-1) - x, matching the pixel
     # flip; mapping through flipped params would misalign by one pixel
     # because warp_points' imgaug convention needs positive scales)
-    kps = batch["keypoints"].astype(jnp.float32)
-    pts = jax.vmap(lambda p_xy, s, o: warp_points(p_xy, WarpParams(s, o)))(
-        kps[..., :2], base_params.scale, base_params.offset
-    )
     vis = kps[..., 2] > 0.5
 
     perm = jnp.asarray(_FLIP_PERM)

@@ -32,7 +32,12 @@ import os
 import numpy as np
 
 
-def _build_engine(checkpoint, size, in_channels, bfloat16):
+def _build_engine(checkpoint, size, in_channels, bfloat16,
+                  int8_dataset=None, fused_stem=False):
+    """``int8_dataset``: a common-format dir to PTQ-calibrate on (the
+    eval set's head batches — standard PTQ practice; scales live outside
+    the checkpoint, models/quantize.py).  ``fused_stem``: patch-folded
+    conditioned stem (20-channel checkpoints)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,8 +57,16 @@ def _build_engine(checkpoint, size, in_channels, bfloat16):
     )
     if checkpoint:
         variables = load_any_checkpoint(checkpoint, variables)
+    quant = None
+    if int8_dataset:
+        from instancesegmentation_tpu.models.quantize import calibrate_on_dataset
+
+        quant = calibrate_on_dataset(
+            variables, int8_dataset, in_channels=in_channels, size=size
+        )
     return InferenceEngine(
-        variables, in_channels=in_channels, size=size, dtype=dtype
+        variables, in_channels=in_channels, size=size, dtype=dtype,
+        fused_stem=fused_stem, quant=quant,
     )
 
 
@@ -69,6 +82,8 @@ def evaluate_full_image(
     max_images: int = 0,
     canvas: int = 640,
     use_keypoints: bool = True,
+    int8: bool = False,
+    fused_stem: bool = False,
     _segment_fn=None,
 ) -> dict:
     """Full-image multi-instance mask AP over a common-format dataset.
@@ -199,7 +214,11 @@ def evaluate_full_image(
             iter_segment_proposals,
         )
 
-        engine = _build_engine(checkpoint, size, in_channels, bfloat16)
+        engine = _build_engine(
+            checkpoint, size, in_channels, bfloat16,
+            int8_dataset=dataset_dir if int8 else None,
+            fused_stem=fused_stem,
+        )
         for results in iter_segment_proposals(
             engine, _requests(), nms_threshold=nms_threshold,
             max_instances=max_instances, canvas=canvas,
@@ -229,6 +248,8 @@ def evaluate_dataset(
     max_batches: int = 0,
     bfloat16: bool = True,
     legacy_confidence: bool = False,
+    int8: bool = False,
+    fused_stem: bool = False,
 ) -> dict:
     import jax
 
@@ -236,7 +257,10 @@ def evaluate_dataset(
     from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
     from instancesegmentation_tpu.data.pipeline import batch_iterator
 
-    engine = _build_engine(checkpoint, size, in_channels, bfloat16)
+    engine = _build_engine(
+        checkpoint, size, in_channels, bfloat16,
+        int8_dataset=dataset_dir if int8 else None, fused_stem=fused_stem,
+    )
     ds = InstanceCommonDataset(dataset_dir)
 
     # per-instance evaluation in the crop frame: prediction vs the GT
@@ -261,7 +285,7 @@ def evaluate_dataset(
             pred_masks.append((p > 0.5).astype(np.uint8) * 255)
             gt_masks.append((masks[i, ..., 0] > 0.5).astype(np.uint8) * 255)
             scores.append(
-                float((p > 0).mean()) + 0.5 if legacy_confidence
+                float((p > 0.5).mean()) + 0.5 if legacy_confidence
                 else _mask_score(p, engine.threshold)
             )
         if max_batches and k + 1 >= max_batches:
@@ -324,6 +348,12 @@ def main(argv=None) -> int:
                         help="per-crop protocol: rank with the round-1 "
                              "foreground-fraction proxy instead of the "
                              "mean-in-mask probability")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 PTQ serving path, calibrated on the "
+                             "eval set's head batches (models/quantize.py)")
+    parser.add_argument("--fused-stem", action="store_true",
+                        help="patch-folded conditioned stem "
+                             "(models/fused_stem_hm.py; 20-channel only)")
     args = parser.parse_args(argv)
     if args.full_image:
         result = evaluate_full_image(
@@ -332,12 +362,14 @@ def main(argv=None) -> int:
             nms_threshold=args.nms_threshold,
             max_instances=args.max_instances, max_images=args.max_images,
             canvas=args.canvas, use_keypoints=not args.no_keypoints,
+            int8=args.int8, fused_stem=args.fused_stem,
         )
     else:
         result = evaluate_dataset(
             args.dataset, args.checkpoint, args.size, args.batch,
             args.in_channels, args.max_batches, bfloat16=not args.float32,
             legacy_confidence=args.legacy_confidence,
+            int8=args.int8, fused_stem=args.fused_stem,
         )
     print(json.dumps(result))
     return 0

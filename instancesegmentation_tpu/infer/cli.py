@@ -44,6 +44,17 @@ def parse_args(argv=None):
                         help="3 or 20; default 20 in dataset mode else 3")
     parser.add_argument("--float32", action="store_true",
                         help="disable bfloat16 compute")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 PTQ serving: calibrate on the first "
+                             "--int8-calib-batches of the actual input "
+                             "source, then run backbone convs s8xs8->s32 "
+                             "(models/quantize.py)")
+    parser.add_argument("--int8-calib-batches", type=int, default=2)
+    parser.add_argument("--fused-stem", action="store_true",
+                        help="conditioned (20-ch) checkpoints: fold the "
+                             "heatmap conditioning through the stem as "
+                             "keypoint patches instead of rendering the "
+                             "dense 17-ch stack (models/fused_stem_hm.py)")
     return parser.parse_args(argv)
 
 
@@ -81,9 +92,37 @@ def main(argv=None) -> int:
     if args.checkpoint:
         variables = load_any_checkpoint(args.checkpoint, variables)
 
+    quant = None
+    if args.int8:
+        from instancesegmentation_tpu.models.quantize import (
+            calibrate_on_dataset,
+            calibrate_on_images,
+        )
+
+        if args.dataset_mode:
+            quant = calibrate_on_dataset(
+                variables, args.test_image_dir, in_channels=in_channels,
+                size=args.size, batches=args.int8_calib_batches,
+                batch_size=args.batch,
+            )
+        else:
+            calib_paths = list_images(args.test_image_dir)
+            calib_paths = calib_paths[: args.int8_calib_batches * args.batch]
+            calib = [
+                cv2.cvtColor(
+                    cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB
+                )
+                for p in calib_paths
+            ]
+            quant = calibrate_on_images(
+                variables, calib, in_channels=in_channels, size=args.size
+            )
+        print(f"int8: calibrated {sum(1 for _ in jax.tree.leaves(quant))} conv scales")
+
     engine = InferenceEngine(
         variables, in_channels=in_channels, size=args.size,
         dtype=dtype, threshold=args.threshold,
+        fused_stem=args.fused_stem, quant=quant,
     )
     os.makedirs(args.output_dir, exist_ok=True)
 

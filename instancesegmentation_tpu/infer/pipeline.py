@@ -289,7 +289,11 @@ class InferenceEngine:
         self.threshold = threshold
         self.in_channels = in_channels
         self._dtype = dtype
-        self._fused_stem = fused_stem and in_channels > 3
+        # the patch fold is derived for the 3+17 conditioned layout
+        # (fold_stem_hm asserts 20 input channels); other widths fall
+        # back to the dense heatmap render instead of crashing at
+        # program-build time
+        self._fused_stem = fused_stem and in_channels == 20
         self._quant = quant
         self.variables = variables  # property: folds head + builds programs
 

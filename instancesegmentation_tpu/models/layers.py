@@ -288,7 +288,9 @@ class ConvTranspose(nn.Module):
 class RawConv(nn.Module):
     """Plain Conv2d with bias, no BN/act (for the reference's raw convs).
 
-    ``quant_mode`` as in ConvBN (PTQ int8 path, inference only).
+    ``quant_mode`` as in ConvBN (PTQ int8 path, inference only — the
+    ``train`` gate keeps training float even when a quant_mode is set,
+    matching ConvBN; an uncalibrated amax would saturate inputs).
     """
 
     features: int
@@ -299,8 +301,8 @@ class RawConv(nn.Module):
     quant_mode: str = "off"
 
     @nn.compact
-    def __call__(self, x):
-        if self.quant_mode != "off":
+    def __call__(self, x, train: bool = False):
+        if self.quant_mode != "off" and not train:
             return _Int8Conv(
                 features=self.features,
                 kernel_size=_pair(self.kernel),
@@ -401,7 +403,7 @@ class Bottleneck5x5(nn.Module):
         y = RawConv(
             self.planes, (5, 1), padding=(2, 0), groups=self.planes,
             dtype=self.dtype, quant_mode=self.quant_mode, name="convs_1",
-        )(y)
+        )(y, train)
         y = ConvBN(
             self.planes, (1, 5), padding=(0, 2), groups=self.planes,
             act="prelu", name="convs_2", **kw,
@@ -548,6 +550,6 @@ class BottleneckUpRes(nn.Module):
         shortcut = RawConv(
             self.outplanes, 1, dtype=self.dtype,
             quant_mode=self.quant_mode, name="uppool_conv",
-        )(merged)
+        )(merged, train)
         shortcut = upsample_nearest_2x(shortcut)
         return nn.relu(y + shortcut)

@@ -65,3 +65,87 @@ def calibrate(model, variables: dict, batches) -> dict:
     if quant is None:
         raise ValueError("calibrate() needs at least one batch")
     return jax.device_get(quant)
+
+
+def _calibrate_model(in_channels: int):
+    from instancesegmentation_tpu.models.segment import Segment
+    import jax.numpy as jnp
+
+    # calibration runs the float path in f32: amax must see the true
+    # activation range, not bf16-rounded values
+    return Segment(
+        in_channels=in_channels, dtype=jnp.float32, quant_mode="calibrate"
+    )
+
+
+def calibrate_on_dataset(
+    variables: dict,
+    dataset_dir: str,
+    in_channels: int = 20,
+    size: int = 480,
+    batches: int = 2,
+    batch_size: int = 8,
+) -> dict:
+    """PTQ calibration over the first ``batches`` instance batches of a
+    common-format dataset, through the SAME fused preprocess the serving
+    path runs (crop-warp + heatmap render) — the activation ranges the
+    quantized program will actually see."""
+    import jax
+    import jax.numpy as jnp
+
+    from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        batch_iterator,
+        preprocess_batch,
+    )
+
+    model = _calibrate_model(in_channels)
+    ds = InstanceCommonDataset(dataset_dir)
+    aug = AugmentConfig(out_size=(size, size))
+
+    def gen():
+        for k, batch in enumerate(
+            batch_iterator(ds, batch_size, shuffle=False, epochs=1,
+                           drop_last=False)
+        ):
+            if k >= batches:
+                break
+            images, heatmaps, _ = preprocess_batch(
+                batch, jax.random.PRNGKey(0), aug
+            )
+            if in_channels > 3:
+                yield images, heatmaps
+            else:
+                yield jnp.asarray(images)
+
+    return calibrate(model, variables, gen())
+
+
+def calibrate_on_images(
+    variables: dict,
+    images: list,
+    in_channels: int = 3,
+    size: int = 512,
+) -> dict:
+    """PTQ calibration on raw RGB uint8 images (whole-image serving):
+    resize + the engine's exact normalize; conditioned checkpoints see
+    the zero heatmaps whole-image mode serves with."""
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    if not images:
+        raise ValueError("calibrate_on_images() needs at least one image")
+    model = _calibrate_model(in_channels)
+    batch = np.stack(
+        [
+            cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+            for img in images
+        ]
+    ).astype(np.float32)
+    x = jnp.asarray(batch) / 127.5 - 1.0
+    if in_channels > 3:
+        hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
+        return calibrate(model, variables, [(x, hm)])
+    return calibrate(model, variables, [x])

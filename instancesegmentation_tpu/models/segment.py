@@ -152,7 +152,7 @@ class Segment(nn.Module):
 
         # section 6 (ref :435-438, :504-505): /1, 1ch logits
         y = ConvTranspose(4, 8, stride=4, padding=2, dtype=self.dtype, name="bottle6_1")(b5_2)
-        logits = RawConv(1, 3, padding=1, dtype=self.dtype, name="bottle6_2")(y)
+        logits = RawConv(1, 3, padding=1, dtype=self.dtype, name="bottle6_2")(y, train)
         return logits.astype(jnp.float32)
 
     def predict(self, variables, images, heatmaps=None):

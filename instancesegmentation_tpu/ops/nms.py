@@ -101,6 +101,72 @@ def nms_batch(
     return jax.vmap(lambda b, s: nms(b, s, iou_threshold, max_outputs))(boxes, scores)
 
 
+def nms_pallas(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float = 0.5,
+    max_outputs: int | None = None,
+    score_threshold: float = -jnp.inf,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """``nms`` with the sequential suppression scan as ONE Pallas kernel.
+
+    The XLA formulation above runs the N-iteration scan as an XLA while
+    loop: each iteration is a separately scheduled fused op over an
+    HBM-resident row — pure per-iteration dispatch latency for bodies
+    this small.  Here XLA still does the sort and builds the boolean
+    suppression matrix (one fused O(N^2) VPU pass), and the scan runs
+    inside a single kernel over VMEM: iteration i reads suppression row
+    i ([1, N] dynamic slice), ANDs it into the alive vector — no HBM
+    round-trips, no per-iteration dispatch.
+
+    Mosaic constraints respected (CLAUDE.md): 2-D tiles only, int32
+    iota, float 0/1 masks instead of bool stores.  N x N f32 must fit
+    VMEM: N <= ~1500 — above that use ``nms`` (the proposal pipeline
+    caps far below this).  Same return contract as ``nms``.
+    """
+    from jax.experimental import pallas as pl
+
+    n = boxes.shape[0]
+    k = n if max_outputs is None else max_outputs
+    order = jnp.argsort(-scores, stable=True)
+    sboxes = boxes[order]
+    sscores = scores[order]
+
+    suppress = (box_iou_jnp(sboxes, sboxes) > iou_threshold).astype(jnp.float32)
+    alive0 = (sscores > score_threshold).astype(jnp.float32)[None, :]
+
+    def kernel(sup_ref, alive0_ref, alive_ref):
+        alive_ref[...] = alive0_ref[...]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+        def body(i, _):
+            alive = alive_ref[...]
+            a_i = jax.lax.dynamic_slice(alive, (0, i), (1, 1))
+            row = sup_ref[pl.dslice(i, 1), :]
+            kill = row * a_i * (cols > i).astype(jnp.float32)
+            alive_ref[...] = alive * (1.0 - kill)
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    alive_f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        interpret=interpret,
+    )(suppress, alive0)
+    alive = alive_f[0] > 0.5
+
+    rank = jnp.where(alive, jnp.arange(n), n + jnp.arange(n))
+    take = jnp.argsort(rank)
+    valid = alive[take]
+    indices = jnp.where(valid, order[take], -1)
+    if k > n:
+        indices = jnp.pad(indices, (0, k - n), constant_values=-1)
+        valid = jnp.pad(valid, (0, k - n), constant_values=False)
+    return indices[:k], valid[:k]
+
+
 def nms_numpy(boxes, scores, iou_threshold):
     """Greedy reference NMS (golden oracle, torchvision semantics):
     walk boxes in descending score order; a surviving box suppresses

@@ -245,6 +245,199 @@ def flip_params_x(params: WarpParams, out_w: int) -> WarpParams:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rotation (the reference's commented-out ±25° aug, train_instance.py:153-155,
+# enabled as an option).  The chain becomes translate -> rotate-about-center
+# -> mask-box crop+resize; rotation is not separable, so this path samples
+# with a 4-tap bilinear gather instead of the two MXU contractions above.
+# The separable path remains the statically-selected fast path when the
+# rotation option is off (data/pipeline.AugmentConfig.rotate == 0).
+# ---------------------------------------------------------------------------
+
+
+class RotWarpParams(NamedTuple):
+    """Per-sample fused translate∘rotate∘crop∘resize mapping.
+
+    Output pixel (u, v) -> rotated-frame position
+    ``p_rot = (uv + 0.5) * scale - 0.5 + origin``; positions outside the
+    canvas read black (the rotation pass cuts to the canvas).  Source
+    position ``src = center + R(-theta) @ (p_rot - center) - t``; source
+    pixels outside ``[src_lo, src_hi)`` read black (the translation
+    cut, same semantics as WarpParams.src_lo/hi).
+
+    All fields [..., 2] ordered (y, x) except ``cos_sin`` = (cos, sin).
+    """
+
+    scale: jax.Array
+    origin: jax.Array
+    cos_sin: jax.Array
+    center: jax.Array
+    t: jax.Array        # (ty, tx) centering translation
+    src_lo: jax.Array
+    src_hi: jax.Array
+    canvas_hw: jax.Array
+
+
+def rotated_mask_box(mask: jax.Array, ty_tx, theta: jax.Array,
+                     image_hw: jax.Array):
+    """bbox (rotated-frame coords, x1/y1 exclusive) of the mask pixels
+    surviving translate -> rotate-about-center, plus a validity flag.
+
+    Defines the crop window exactly as the reference would with its
+    rotation line enabled: ``mask2box`` recomputed on the augmented mask
+    (train_instance.py:160-161).  The geometric bbox of surviving pixel
+    centers stands in for the rasterized bbox (bilinear rasterization
+    can bleed ≤1 px wider; rotation was never enabled in the reference,
+    so there is no bit-parity target — documented design equivalence).
+    """
+    ty, tx = ty_tx
+    h, w = image_hw[0], image_hw[1]
+    ch, cw = mask.shape[0], mask.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
+    xt = xs + tx
+    yt = ys + ty
+    on = (mask > 0) & (xt >= 0) & (xt < w) & (yt >= 0) & (yt < h)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    cx = w / 2.0 - 0.5
+    cy = h / 2.0 - 0.5
+    xr = cx + c * (xt - cx) - s * (yt - cy)
+    yr = cy + s * (xt - cx) + c * (yt - cy)
+    on = on & (xr >= 0) & (xr < w) & (yr >= 0) & (yr < h)
+    valid = jnp.any(on)
+    big = jnp.float32(max(ch, cw)) * 2.0
+    x0 = jnp.floor(jnp.min(jnp.where(on, xr, big)))
+    y0 = jnp.floor(jnp.min(jnp.where(on, yr, big)))
+    x1 = jnp.floor(jnp.max(jnp.where(on, xr, -big))) + 1.0
+    y1 = jnp.floor(jnp.max(jnp.where(on, yr, -big))) + 1.0
+    return jnp.stack([x0, y0, x1, y1]), valid
+
+
+def rotated_instance_warp_params(
+    obj_box: jax.Array,
+    rot_box: jax.Array,
+    image_hw: jax.Array,
+    theta: jax.Array,
+    out_hw: tuple[int, int],
+    pad: int = 16,
+    box_valid: jax.Array | bool = True,
+    jitter: jax.Array | None = None,
+) -> RotWarpParams:
+    """Fused warp params with rotation: the RotWarpParams analogue of
+    ``instance_warp_params``.  ``rot_box`` is the rotated-frame crop box
+    from ``rotated_mask_box``; invalid boxes fall back to the whole
+    canvas (reference train_instance.py:163-164)."""
+    h, w = image_hw[0], image_hw[1]
+    ty, tx = center_translation(obj_box, image_hw)
+
+    rb = jnp.where(
+        jnp.asarray(box_valid), rot_box, jnp.stack([0.0, 0.0, w, h])
+    )
+    wx0, wy0 = rb[0] - pad, rb[1] - pad
+    wx1, wy1 = rb[2] + pad, rb[3] + pad
+    if jitter is not None:
+        win_w = wx1 - wx0
+        win_h = wy1 - wy0
+        margin = SRC_PAD - 4
+        wy0 = jnp.clip(wy0 + jitter[0] * win_h, -margin, h + margin)
+        wx0 = jnp.clip(wx0 + jitter[1] * win_w, -margin, w + margin)
+        wy1 = jnp.clip(wy1 + jitter[2] * win_h, wy0 + 1.0, h + margin)
+        wx1 = jnp.clip(wx1 + jitter[3] * win_w, wx0 + 1.0, w + margin)
+
+    out_h, out_w = out_hw
+    return RotWarpParams(
+        scale=jnp.stack([(wy1 - wy0) / out_h, (wx1 - wx0) / out_w]),
+        origin=jnp.stack([wy0, wx0]),
+        cos_sin=jnp.stack([jnp.cos(theta), jnp.sin(theta)]),
+        center=jnp.stack([h / 2.0 - 0.5, w / 2.0 - 0.5]),
+        t=jnp.stack([ty, tx]),
+        src_lo=jnp.stack([jnp.maximum(0.0, -ty), jnp.maximum(0.0, -tx)]),
+        src_hi=jnp.stack([jnp.minimum(h, h - ty), jnp.minimum(w, w - tx)]),
+        canvas_hw=jnp.stack([h, w]),
+    )
+
+
+def warp_image_rotated(
+    image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int]
+) -> jax.Array:
+    """Sample one [H, W, C] image through RotWarpParams to
+    [out_h, out_w, C] — 4-tap bilinear gather, constant-black fill at
+    the canvas boundary, the rotation cut, and the translation cut."""
+    out_h, out_w = out_hw
+    h, w = image.shape[0], image.shape[1]
+    u = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    v = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    py = (u + 0.5) * params.scale[0] - 0.5 + params.origin[0]
+    px = (v + 0.5) * params.scale[1] - 0.5 + params.origin[1]
+    # rotation pass cuts to the canvas: positions outside read black
+    rot_ok = (
+        (py >= 0) & (py < params.canvas_hw[0])
+        & (px >= 0) & (px < params.canvas_hw[1])
+    )
+    c, s = params.cos_sin[0], params.cos_sin[1]
+    cy, cx = params.center[0], params.center[1]
+    dy = py - cy
+    dx = px - cx
+    # inverse rotation R(-theta) back into the translated frame
+    sy = cy + (-s) * dx + c * dy - params.t[0]
+    sx = cx + c * dx + s * dy - params.t[1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    flat = image.reshape(h * w, -1).astype(jnp.float32)
+
+    def tap(yi, xi, wgt):
+        ok = (
+            rot_ok
+            & (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            & (yi >= params.src_lo[0]) & (yi < params.src_hi[0])
+            & (xi >= params.src_lo[1]) & (xi < params.src_hi[1])
+        )
+        idx = (
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+            + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        )
+        vals = flat[idx.reshape(-1)].reshape(out_h, out_w, -1)
+        return vals * (wgt * ok.astype(jnp.float32))[..., None]
+
+    out = (
+        tap(y0, x0, (1 - fy) * (1 - fx))
+        + tap(y0, x0 + 1, (1 - fy) * fx)
+        + tap(y0 + 1, x0, fy * (1 - fx))
+        + tap(y0 + 1, x0 + 1, fy * fx)
+    )
+    return out
+
+
+def warp_points_rotated(points_xy: jax.Array, params: RotWarpParams) -> jax.Array:
+    """Map [K, 2] (x, y) source points through translate -> rotate ->
+    window into output coordinates (imgaug ratio convention, as
+    ``warp_points``)."""
+    c, s = params.cos_sin[0], params.cos_sin[1]
+    cy, cx = params.center[0], params.center[1]
+    xt = points_xy[..., 0] + params.t[1]
+    yt = points_xy[..., 1] + params.t[0]
+    xr = cx + c * (xt - cx) - s * (yt - cy)
+    yr = cy + s * (xt - cx) + c * (yt - cy)
+    x = (xr - params.origin[1]) / params.scale[1]
+    y = (yr - params.origin[0]) / params.scale[0]
+    return jnp.stack([x, y], axis=-1)
+
+
+def flip_rot_params_x(params: RotWarpParams, out_w: int) -> RotWarpParams:
+    """Mirror a rotated warp horizontally (same identity as
+    ``flip_params_x``: p_rot is affine in the output column)."""
+    return params._replace(
+        scale=jnp.stack([params.scale[0], -params.scale[1]]),
+        origin=jnp.stack(
+            [params.origin[0], params.origin[1] + out_w * params.scale[1]]
+        ),
+    )
+
+
 def warp_batch(
     images: jax.Array,
     params: WarpParams,

@@ -42,7 +42,9 @@ class ParallelInferenceEngine:
         self.in_channels = in_channels
         self.threshold = threshold
         self._dtype = dtype
-        self._fused_stem = fused_stem and in_channels > 3
+        # 20-channel gate mirrors InferenceEngine: fold_stem_hm is
+        # derived for the 3+17 conditioned layout only
+        self._fused_stem = fused_stem and in_channels == 20
         self._quant = quant
         self.model = Segment(
             in_channels=in_channels, dtype=dtype,

@@ -1,3 +1,4 @@
 from instancesegmentation_tpu.train.loop import main
 
-main()
+if __name__ == "__main__":
+    main()

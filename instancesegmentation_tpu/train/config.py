@@ -52,6 +52,9 @@ class TrainConfig:
     # augmentation (reference-parity defaults: off; see SURVEY.md §2.9)
     flip_prob: float = 0.0
     jitter: float = 0.0
+    rotate: float = 0.0            # max +- degrees (the reference's
+                                   # commented-out +-25, ref :153-155)
+    rotate_prob: float = 0.6       # imgaug Sometimes(0.6, ...) gate
     brightness: float = 0.0
     contrast: float = 0.0
     noise_std: float = 0.0

@@ -25,6 +25,8 @@ def augment_config(cfg, train: bool) -> AugmentConfig:
         out_size=cfg.out_hw,
         flip_prob=cfg.flip_prob if train else 0.0,
         jitter=cfg.jitter if train else 0.0,
+        rotate=cfg.rotate if train else 0.0,
+        rotate_prob=cfg.rotate_prob,
         brightness=cfg.brightness if train else 0.0,
         contrast=cfg.contrast if train else 0.0,
         noise_std=cfg.noise_std if train else 0.0,

@@ -117,6 +117,44 @@ def test_nms_max_outputs_padding():
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)], golden)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7])
+def test_nms_pallas_matches_greedy_golden(seed, threshold):
+    from instancesegmentation_tpu.ops.nms import nms_pallas
+
+    boxes, scores = _nms_case(seed, n=96)
+    golden = nms_numpy(boxes, scores, threshold)
+    idx, valid = nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), threshold, interpret=True
+    )
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, golden)
+
+
+def test_nms_pallas_max_outputs_and_score_threshold():
+    from instancesegmentation_tpu.ops.nms import nms_pallas
+
+    boxes, scores = _nms_case(7, n=32)
+    idx, valid = nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_outputs=5,
+        interpret=True,
+    )
+    assert idx.shape == (5,) and valid.shape == (5,)
+    golden = nms_numpy(boxes, scores, 0.5)[:5]
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)], golden)
+
+    # score_threshold drops boxes before suppression, like nms()
+    ref_i, ref_v = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, score_threshold=0.5
+    )
+    got_i, got_v = nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, score_threshold=0.5,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
 def test_batched_nms_classes_dont_suppress():
     boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
     scores = np.asarray([0.9, 0.8], np.float32)

@@ -1,0 +1,284 @@
+"""Golden tests for the rotation augmentation (the reference's
+commented-out ±25° aug, train_instance.py:153-155, enabled as an
+option): host oracle ``core.augment.Affine.rotate`` vs cv2, the device
+gather sampler ``ops.warp.warp_image_rotated`` vs both, and the
+pipeline-level invariants (θ=0 reduction to the separable path, flip
+mirror identity)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instancesegmentation_tpu.core.augment import Affine
+from instancesegmentation_tpu.ops.warp import (
+    WarpParams,
+    RotWarpParams,
+    center_translation,
+    clipped_mask_box,
+    instance_warp_params,
+    rotated_instance_warp_params,
+    rotated_mask_box,
+    warp_image,
+    warp_image_rotated,
+    warp_points,
+    warp_points_rotated,
+)
+
+
+def _smooth_image(h, w, c=3):
+    """Low-frequency image: double vs single interpolation stay close."""
+    ys = np.linspace(0, 3 * np.pi, h)[:, None]
+    xs = np.linspace(0, 2 * np.pi, w)[None, :]
+    base = 127.5 + 90 * np.sin(ys) * np.cos(xs)
+    chans = [base * (0.6 + 0.2 * i) for i in range(c)]
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.float32)
+
+
+def _mask(h, w):
+    m = np.zeros((h, w), np.uint8)
+    m[30:70, 40:90] = 255
+    return m
+
+
+# ---------------------------------------------------------------------------
+# host oracle
+# ---------------------------------------------------------------------------
+
+def test_affine_rotate_inverse_identity():
+    a = Affine.rotate(25.0, (96, 128))
+    b = Affine.rotate(-25.0, (96, 128))
+    m = a.then(b)
+    np.testing.assert_allclose(
+        m.matrix, np.asarray([[1, 0, 0], [0, 1, 0]], float), atol=1e-12
+    )
+
+
+def test_affine_rotate_center_fixed_point():
+    h, w = 96, 128
+    a = Affine.rotate(33.0, (h, w))
+    center = np.asarray([w / 2.0 - 0.5, h / 2.0 - 0.5])
+    np.testing.assert_allclose(a.apply_points(center), center, atol=1e-9)
+
+
+def test_affine_rotate_90_maps_points():
+    # 90°: dx -> dy under [[c,-s],[s,c]] (x' = -dy, y' = dx about center)
+    h = w = 101
+    a = Affine.rotate(90.0, (h, w))
+    c = np.asarray([w / 2.0 - 0.5, h / 2.0 - 0.5])
+    p = c + np.asarray([10.0, 0.0])
+    out = a.apply_points(p)
+    np.testing.assert_allclose(out, c + np.asarray([0.0, 10.0]), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# device sampler vs cv2 (pure rotation: window = whole canvas, t = 0)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("deg", [-25.0, 13.0, 90.0])
+def test_device_rotation_matches_cv2(deg):
+    h, w = 96, 128
+    img = _smooth_image(h, w)
+    host = Affine.rotate(deg, (h, w)).apply_image(img)
+
+    theta = math.radians(deg)
+    hw = jnp.asarray([h, w], jnp.float32)
+    p = RotWarpParams(
+        scale=jnp.asarray([1.0, 1.0]),
+        origin=jnp.asarray([0.0, 0.0]),
+        cos_sin=jnp.asarray([math.cos(theta), math.sin(theta)]),
+        center=jnp.asarray([h / 2.0 - 0.5, w / 2.0 - 0.5]),
+        t=jnp.asarray([0.0, 0.0]),
+        src_lo=jnp.asarray([0.0, 0.0]),
+        src_hi=hw,
+        canvas_hw=hw,
+    )
+    dev = np.asarray(warp_image_rotated(jnp.asarray(img), p, (h, w)))
+    # cv2 uses 5-bit fixed-point bilinear taps; interior agreement ~1 LSB
+    assert np.mean(np.abs(dev - host)) < 1.0
+    assert np.percentile(np.abs(dev - host), 99) < 6.0
+
+
+# ---------------------------------------------------------------------------
+# keypoint geometry: exact affine composition parity
+# ---------------------------------------------------------------------------
+
+def test_rotated_points_match_host_affine_composition():
+    h, w, out = 96, 128, 64
+    deg = 17.0
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    hw = jnp.asarray([h, w], jnp.float32)
+    theta = jnp.asarray(math.radians(deg))
+
+    t = center_translation(obj_box, hw)
+    rbox, rvalid = rotated_mask_box(jnp.asarray(mask), t, theta, hw)
+    params = rotated_instance_warp_params(
+        obj_box, rbox, hw, theta, (out, out), 16, rvalid
+    )
+
+    pts = jnp.asarray([[45.0, 35.0], [80.0, 60.0], [10.0, 90.0]])
+    dev = np.asarray(warp_points_rotated(pts, params))
+
+    ty, tx = float(t[0]), float(t[1])
+    x0, y0, x1, y1 = [float(v) for v in np.asarray(rbox)]
+    window = (x0 - 16, y0 - 16, x1 + 16, y1 + 16)
+    host_aff = (
+        Affine.translate(tx, ty, (h, w))
+        .then(Affine.rotate(deg, (h, w)))
+        .then(Affine.crop_resize(window, (out, out)))
+    )
+    host = host_aff.apply_points(np.asarray(pts))
+    np.testing.assert_allclose(dev, host, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# θ=0 reduces exactly to the separable fast path
+# ---------------------------------------------------------------------------
+
+def test_zero_angle_matches_separable_path():
+    h, w, out = 96, 128, 64
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    hw = jnp.asarray([h, w], jnp.float32)
+    t = center_translation(obj_box, hw)
+
+    mbox, mvalid = clipped_mask_box(jnp.asarray(mask), t, hw)
+    sep = instance_warp_params(obj_box, mbox, hw, (out, out), 16, mvalid)
+    ref = np.asarray(warp_image(jnp.asarray(img), sep, (out, out)))
+
+    theta = jnp.asarray(0.0)
+    rbox, rvalid = rotated_mask_box(jnp.asarray(mask), t, theta, hw)
+    rot = rotated_instance_warp_params(
+        obj_box, rbox, hw, theta, (out, out), 16, rvalid
+    )
+    got = np.asarray(warp_image_rotated(jnp.asarray(img), rot, (out, out)))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    # keypoints too
+    pts = jnp.asarray([[45.0, 35.0], [80.0, 60.0]])
+    np.testing.assert_allclose(
+        np.asarray(warp_points_rotated(pts, rot)),
+        np.asarray(warp_points(pts, sep)),
+        atol=1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end sampling parity with the two-pass host chain (geometry
+# pinned to the device window so only interpolation differs)
+# ---------------------------------------------------------------------------
+
+def test_rotated_chain_matches_two_pass_host():
+    import cv2
+
+    h, w, out = 96, 128, 64
+    deg = -19.0
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    hw = jnp.asarray([h, w], jnp.float32)
+    t = center_translation(obj_box, hw)
+    theta = jnp.asarray(math.radians(deg))
+    rbox, rvalid = rotated_mask_box(jnp.asarray(mask), t, theta, hw)
+    params = rotated_instance_warp_params(
+        obj_box, rbox, hw, theta, (out, out), 16, rvalid
+    )
+    dev = np.asarray(
+        warp_image_rotated(jnp.asarray(img), params, (out, out))
+    )
+
+    # host: integer translate -> cv2 rotate -> crop at the DEVICE window
+    # -> cv2 resize (two interpolation passes vs the device's one)
+    ty, tx = int(t[0]), int(t[1])
+    timg = np.zeros_like(img)
+    sy0, sy1 = max(0, -ty), min(h, h - ty)
+    sx0, sx1 = max(0, -tx), min(w, w - tx)
+    timg[sy0 + ty : sy1 + ty, sx0 + tx : sx1 + tx] = img[sy0:sy1, sx0:sx1]
+    rimg = Affine.rotate(deg, (h, w)).apply_image(timg)
+    x0, y0, x1, y1 = [int(v) for v in np.asarray(rbox)]
+    wx0, wy0, wx1, wy1 = x0 - 16, y0 - 16, x1 + 16, y1 + 16
+    crop = np.zeros((wy1 - wy0, wx1 - wx0, 3), np.float32)
+    cy0, cy1 = max(0, wy0), min(h, wy1)
+    cx0, cx1 = max(0, wx0), min(w, wx1)
+    crop[cy0 - wy0 : cy1 - wy0, cx0 - wx0 : cx1 - wx0] = rimg[cy0:cy1, cx0:cx1]
+    host = cv2.resize(crop, (out, out), interpolation=cv2.INTER_LINEAR)
+
+    assert np.mean(np.abs(dev - host)) < 2.5
+    # mask agreement through both paths
+    dmask = np.asarray(
+        warp_image_rotated(
+            jnp.asarray(mask[..., None].astype(np.float32)), params, (out, out)
+        )
+    )[..., 0]
+    tmask = np.zeros_like(mask, np.float32)
+    tmask[sy0 + ty : sy1 + ty, sx0 + tx : sx1 + tx] = mask[sy0:sy1, sx0:sx1]
+    rm = Affine.rotate(deg, (h, w)).apply_image(tmask)
+    cropm = np.zeros((wy1 - wy0, wx1 - wx0), np.float32)
+    cropm[cy0 - wy0 : cy1 - wy0, cx0 - wx0 : cx1 - wx0] = rm[cy0:cy1, cx0:cx1]
+    hm = cv2.resize(cropm, (out, out), interpolation=cv2.INTER_LINEAR)
+    a = dmask > 127.5
+    b = hm > 127.5
+    iou = (a & b).sum() / max(1, (a | b).sum())
+    assert iou > 0.97
+
+
+# ---------------------------------------------------------------------------
+# pipeline-level invariants
+# ---------------------------------------------------------------------------
+
+def _tiny_batch(b=2, canvas=96):
+    from instancesegmentation_tpu.data.synthetic import synthetic_host_batch
+
+    return {
+        k: jnp.asarray(v) for k, v in synthetic_host_batch(b, canvas).items()
+    }
+
+
+def test_pipeline_rotate_prob_zero_matches_separable():
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(0)
+    base = AugmentConfig(out_size=(64, 64))
+    rot0 = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=0.0)
+    im_a, hm_a, mk_a = preprocess_batch(batch, rng, base)
+    im_b, hm_b, mk_b = preprocess_batch(batch, rng, rot0)
+    np.testing.assert_allclose(np.asarray(im_a), np.asarray(im_b), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(hm_a), np.asarray(hm_b), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mk_a), np.asarray(mk_b), atol=2e-3)
+
+
+def test_pipeline_rotation_runs_and_flip_mirrors():
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(7)
+    cfg = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0)
+    images, heatmaps, masks = jax.jit(
+        lambda bt, r: preprocess_batch(bt, r, cfg)
+    )(batch, rng)
+    assert images.shape == (2, 64, 64, 3)
+    assert heatmaps.shape == (2, 64, 64, 17)
+    assert bool(jnp.all(jnp.isfinite(images)))
+    assert float(jnp.max(masks)) <= 1.0
+
+    flip = AugmentConfig(
+        out_size=(64, 64), rotate=25.0, rotate_prob=1.0, flip_prob=1.0
+    )
+    im_f, _, mk_f = preprocess_batch(batch, rng, flip)
+    np.testing.assert_allclose(
+        np.asarray(im_f), np.asarray(images)[:, :, ::-1, :], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mk_f), np.asarray(masks)[:, :, ::-1, :], atol=1e-4
+    )

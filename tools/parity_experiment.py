@@ -42,8 +42,14 @@ sys.path.insert(0, REPO)
 
 
 def _prepare_crops(data_dir: str, n_images: int, seed: int, out_size: int,
-                   canvas: int = 192, image_hw: tuple = (240, 320)):
-    """Synthetic common-format dataset -> deterministic crop tensors."""
+                   canvas: int = 192, image_hw: tuple = (240, 320),
+                   hard: bool = False):
+    """Synthetic common-format dataset -> deterministic crop tensors.
+
+    ``hard``: generate the OCHuman-analog crowded/occluded set
+    (data/synthetic.make_hard_dataset — 3-6 overlapping instances,
+    >=4x scale range, occluded/missing keypoints) instead of the
+    single-ellipse toy worlds."""
     import jax
 
     from instancesegmentation_tpu.data.dataset import InstanceCommonDataset
@@ -52,10 +58,18 @@ def _prepare_crops(data_dir: str, n_images: int, seed: int, out_size: int,
         host_batch,
         preprocess_batch,
     )
-    from instancesegmentation_tpu.data.synthetic import make_synthetic_dataset
+    from instancesegmentation_tpu.data.synthetic import (
+        make_hard_dataset,
+        make_synthetic_dataset,
+    )
 
-    make_synthetic_dataset(data_dir, num_images=n_images, objects_per_image=1,
-                           seed=seed, image_hw=image_hw)
+    if hard:
+        make_hard_dataset(data_dir, num_images=n_images, seed=seed,
+                          image_hw=image_hw)
+    else:
+        make_synthetic_dataset(data_dir, num_images=n_images,
+                               objects_per_image=1, seed=seed,
+                               image_hw=image_hw)
     ds = InstanceCommonDataset(data_dir, canvas=canvas)
     batch = host_batch([ds.fetch(i) for i in range(len(ds))])
     aug = AugmentConfig(out_size=(out_size, out_size))
@@ -215,6 +229,10 @@ def main(argv=None) -> int:
                         help="synthetic source image size; scale up with "
                              "--out-size so crop upsampling factors match "
                              "the reference's COCO regime")
+    parser.add_argument("--hard", action="store_true",
+                        help="train/val on the OCHuman-analog hard set "
+                             "(crowded, occluded, scale-varied; "
+                             "data/synthetic.make_hard_dataset)")
     args = parser.parse_args(argv)
 
     import jax
@@ -227,12 +245,12 @@ def main(argv=None) -> int:
     train = _prepare_crops(
         os.path.join(workdir, "train"), args.train_images, seed=11,
         out_size=args.out_size, canvas=args.canvas,
-        image_hw=(args.image_h, args.image_w),
+        image_hw=(args.image_h, args.image_w), hard=args.hard,
     )
     val = _prepare_crops(
         os.path.join(workdir, "val"), args.val_images, seed=97,
         out_size=args.out_size, canvas=args.canvas,
-        image_hw=(args.image_h, args.image_w),
+        image_hw=(args.image_h, args.image_w), hard=args.hard,
     )
     batches = _batch_order(train[0].shape[0], args.batch, args.epochs, seed=3)
     print(f"{train[0].shape[0]} train / {val[0].shape[0]} val crops, "
@@ -246,8 +264,13 @@ def main(argv=None) -> int:
     result = {
         "protocol": {
             "model": "Segment in_channels=20 (keypoint-conditioned)",
-            "data": "identical preprocessed synthetic crops, identical "
-                    "batch order (framework eval-mode pipeline, aug off)",
+            "data": ("identical preprocessed HARD-set crops (crowded/"
+                     "occluded OCHuman-analog, make_hard_dataset), "
+                     if args.hard else
+                     "identical preprocessed synthetic crops, ")
+                    + "identical batch order (framework eval-mode "
+                      "pipeline, aug off)",
+            "hard": bool(args.hard),
             "optimizer": f"Adam lr={args.lr}, BCE (ref train_instance.py:297,299)",
             "steps": len(batches),
             "batch": args.batch,
