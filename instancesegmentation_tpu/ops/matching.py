@@ -58,6 +58,59 @@ def match_proposals(
     return matched, labels
 
 
+def match_proposals_pallas(
+    iou: jax.Array,
+    high_threshold: float = 0.5,
+    low_threshold: float = 0.3,
+    allow_low_quality: bool = True,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """``match_proposals`` as ONE Pallas kernel (north-star letter:
+    "proposal matching ... written as Pallas kernels").
+
+    Unlike NMS there is no sequential scan here — the XLA formulation
+    is a single fused max/argmax pass and is already at the op's
+    latency floor; this kernel exists to complete the Pallas op set and
+    is bit-equivalent (first-argmax tie-breaking included, expressed as
+    min-index-over-ties since Mosaic lacks a lane argmax).  Mosaic
+    constraints: 2-D tiles, int32 iota, float masks.  [P, G] must fit
+    VMEM (detection-sized inputs do).
+    """
+    from jax.experimental import pallas as pl
+
+    p, g = iou.shape
+
+    def kernel(iou_ref, matched_ref, labels_ref):
+        x = iou_ref[...].astype(jnp.float32)
+        best = jnp.max(x, axis=1, keepdims=True)            # [P, 1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (p, g), 1)
+        # first index achieving the row max == jnp.argmax tie-breaking
+        cand = jnp.where(x == best, cols, jnp.int32(g))
+        matched_ref[...] = jnp.min(cand, axis=1, keepdims=True)
+        labels = jnp.where(
+            best >= high_threshold,
+            jnp.int32(POSITIVE),
+            jnp.where(best < low_threshold, jnp.int32(NEGATIVE),
+                      jnp.int32(IGNORE)),
+        )
+        if allow_low_quality:
+            gt_best = jnp.max(x, axis=0, keepdims=True)      # [1, G]
+            hit = ((x == gt_best) & (gt_best > 0)).astype(jnp.float32)
+            is_best = jnp.max(hit, axis=1, keepdims=True) > 0
+            labels = jnp.where(is_best, jnp.int32(POSITIVE), labels)
+        labels_ref[...] = labels
+
+    matched, labels = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((p, 1), jnp.int32),
+            jax.ShapeDtypeStruct((p, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(iou)
+    return matched[:, 0], labels[:, 0]
+
+
 def subsample_labels(
     labels: jax.Array,
     rng: jax.Array,

@@ -155,6 +155,28 @@ def test_nms_pallas_max_outputs_and_score_threshold():
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
 
 
+@pytest.mark.parametrize("allow_lq", [True, False])
+@pytest.mark.parametrize("seed", [0, 4, 9])
+def test_match_proposals_pallas_bit_equivalent(seed, allow_lq):
+    from instancesegmentation_tpu.ops.matching import (
+        match_proposals,
+        match_proposals_pallas,
+    )
+
+    rng = np.random.default_rng(seed)
+    iou = rng.uniform(0, 1, size=(48, 12)).astype(np.float32)
+    # inject exact ties (argmax tie-breaking must match) and zero GTs
+    iou[5] = iou[3]
+    iou[:, 7] = 0.0
+    ref_m, ref_l = match_proposals(jnp.asarray(iou),
+                                   allow_low_quality=allow_lq)
+    got_m, got_l = match_proposals_pallas(jnp.asarray(iou),
+                                          allow_low_quality=allow_lq,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+
+
 def test_batched_nms_classes_dont_suppress():
     boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
     scores = np.asarray([0.9, 0.8], np.float32)

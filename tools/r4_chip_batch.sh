@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-4 chip measurement batch (VERDICT r3 next#1/2/3/4/6): run when
+# the axon tunnel is up.  Each step is independently timeboxed and
+# logged; artifacts land at the repo root for ROOFLINE.md/the judge.
+#
+#   bash tools/r4_chip_batch.sh [outdir]
+#
+# Steps:
+#   1. int8 gate probe           -> INT8_PROBE.json        (next#2)
+#   2. fused_stem_hm decompose   -> STEM_HM_PROBE.json     (next#3)
+#   3. NMS XLA vs Pallas vs floor-> NMS_PROBE.json         (next#6)
+#   4. training roofline fused-head on/off at batch 8/128
+#                                -> ROOFLINE_train_r4.json,
+#                                   ROOFLINE_train_fused.json (next#4)
+#   5. headline bench (resilient supervisor) -> bench_r4.log (next#1)
+cd "$(dirname "$0")/.." || exit 1
+OUT="${1:-.}"
+log() { echo "[r4-batch $(date +%H:%M:%S)] $*"; }
+
+log "1/5 int8 probe"
+timeout 2000 python tools/int8_probe.py | tee "$OUT/INT8_PROBE.jsonl"
+python - "$OUT" <<'EOF'
+import json, sys
+rows = [json.loads(l) for l in open(sys.argv[1] + "/INT8_PROBE.jsonl") if l.strip()]
+json.dump({"rows": rows}, open(sys.argv[1] + "/INT8_PROBE.json", "w"), indent=1)
+EOF
+
+log "1b/5 int8 end-to-end serving program vs bf16"
+timeout 2400 python tools/quant_experiment.py | tee "$OUT/QUANT_E2E.jsonl"
+
+log "2/5 fused_stem_hm decomposition"
+timeout 2000 python tools/stem_hm_experiment.py | tee "$OUT/STEM_HM_PROBE.jsonl"
+python - "$OUT" <<'EOF'
+import json, sys
+lines = [json.loads(l) for l in open(sys.argv[1] + "/STEM_HM_PROBE.jsonl") if l.strip()]
+json.dump(lines[-1] if lines else {}, open(sys.argv[1] + "/STEM_HM_PROBE.json", "w"), indent=1)
+EOF
+
+log "3/5 NMS probe"
+timeout 1500 python tools/nms_probe.py --write
+
+log "4/5 training roofline, fused head off/on + rotation cost"
+timeout 2800 python tools/roofline.py --mode train --batches 8 128 --json ROOFLINE_train_r4.json
+timeout 2800 python tools/roofline.py --mode train_fused --batches 8 128 --json ROOFLINE_train_fused.json
+timeout 2000 python tools/roofline.py --mode train_rot --batches 128 --json ROOFLINE_train_rot.json
+
+log "5/5 headline bench"
+timeout 4000 python bench.py | tee "$OUT/bench_r4.log"
+
+log "done"

@@ -99,7 +99,8 @@ def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
 
 
 def build_train(batch_size: int, size: int = 480, canvas: int = 640,
-                remat: bool = False, fused_head: bool = False):
+                remat: bool = False, fused_head: bool = False,
+                rotate: float = 0.0):
     """Full training step: fused device preprocess (crop-warp + 17-ch
     heatmap render) + conditioned fwd/bwd + Adam update, single chip —
     exactly the program Trainer dispatches per step (train/steps.py).
@@ -120,6 +121,7 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640,
         batch_size=batch_size,
         flip_prob=0.5,
         jitter=0.1,
+        rotate=rotate,
         remat=remat,
         fused_head=fused_head,
     )
@@ -217,10 +219,11 @@ def build_instance(batch_size: int, size: int = 480, canvas: int = 640):
 def analyze(
     batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer"
 ) -> dict:
-    if mode in ("train", "train_remat", "train_fused"):
+    if mode in ("train", "train_remat", "train_fused", "train_rot"):
         single, bench_loop, args = build_train(
             batch_size, size, remat=(mode == "train_remat"),
             fused_head=(mode == "train_fused"),
+            rotate=(25.0 if mode == "train_rot" else 0.0),
         )
     elif mode == "instance":
         single, bench_loop, args = build_instance(batch_size, size)
@@ -279,14 +282,15 @@ def main() -> None:
     p.add_argument(
         "--mode",
         choices=["infer", "infer_fused", "train", "train_remat",
-                 "train_fused", "instance"],
+                 "train_fused", "train_rot", "instance"],
         default="infer",
         help="infer: r1 serving program; infer_fused: r2 folded-head "
         "serving program; train/train_remat: full fused train step "
         "(preprocess + conditioned fwd/bwd + Adam), without/with "
         "jax.checkpoint; train_fused: train step with the folded "
-        "section-6 head re-derived per step; instance: the fused "
-        "conditioned instance "
+        "section-6 head re-derived per step; train_rot: train step "
+        "with --rotate 25 (gather-based rotated warp); instance: the "
+        "fused conditioned instance "
         "pipeline (bench.py line 1)",
     )
     p.add_argument("--json", type=str, default=None, help="write results here")
@@ -294,7 +298,7 @@ def main() -> None:
     if args.size is None:
         args.size = (
             480 if args.mode in ("train", "train_remat", "train_fused",
-                         "instance") else SIZE
+                         "train_rot", "instance") else SIZE
         )
 
     rows = []
