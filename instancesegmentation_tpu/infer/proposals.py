@@ -29,14 +29,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from instancesegmentation_tpu.infer.pipeline import MAX_BUCKET, InferenceEngine
-from instancesegmentation_tpu.ops.nms import nms
+from instancesegmentation_tpu.ops.nms import nms, nms_pallas
+
+#: NMS backend for the serving path: "xla" (fori_loop scan) or
+#: "pallas" (single-kernel scan, ops/nms.nms_pallas).  Module-level so
+#: a measured winner (tools/nms_probe.py, NMS_PROBE.json) can flip the
+#: default in one place; both return identical keeps.
+NMS_IMPL = "xla"
 
 
 def _nms_keep(boxes: np.ndarray, scores: np.ndarray, nms_threshold: float,
               max_instances: int) -> np.ndarray:
     """Device NMS -> surviving indices (original order preserved by the
     score-sorted NMS; callers index boxes/scores/keypoints with it)."""
-    idx, valid = nms(
+    nms_fn = nms_pallas if NMS_IMPL == "pallas" else nms
+    idx, valid = nms_fn(
         jnp.asarray(boxes), jnp.asarray(scores), nms_threshold,
         max_outputs=min(max_instances, boxes.shape[0]),
     )

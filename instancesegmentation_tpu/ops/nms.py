@@ -101,6 +101,7 @@ def nms_batch(
     return jax.vmap(lambda b, s: nms(b, s, iou_threshold, max_outputs))(boxes, scores)
 
 
+@partial(jax.jit, static_argnames=("max_outputs", "interpret"))
 def nms_pallas(
     boxes: jax.Array,
     scores: jax.Array,
