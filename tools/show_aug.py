@@ -70,7 +70,9 @@ def show_dataset(dataset_dir: str, out_dir: str, limit: int = 16) -> int:
     return n
 
 
-def show_aug(dataset_dir: str, out_dir: str, limit: int = 16, out_size: int = 480) -> int:
+def show_aug(dataset_dir: str, out_dir: str, limit: int = 16, out_size: int = 480,
+             flip_prob: float = 0.0, jitter: float = 0.0,
+             rotate: float = 0.0, seed: int = 0) -> int:
     """Replay the training preprocess (the real compiled ops) per object."""
     import cv2
     import jax
@@ -84,12 +86,14 @@ def show_aug(dataset_dir: str, out_dir: str, limit: int = 16, out_size: int = 48
 
     os.makedirs(out_dir, exist_ok=True)
     ds = InstanceCommonDataset(dataset_dir)
-    cfg = AugmentConfig(out_size=(out_size, out_size))
+    cfg = AugmentConfig(out_size=(out_size, out_size), flip_prob=flip_prob,
+                        jitter=jitter, rotate=rotate,
+                        rotate_prob=1.0 if rotate else 0.6)
     n = 0
     for i in range(min(limit, len(ds))):
         batch = host_batch([ds.fetch(i)])
         images, heatmaps, masks = preprocess_batch(
-            batch, jax.random.PRNGKey(0), cfg
+            batch, jax.random.PRNGKey(seed + i), cfg
         )
         img = ((np.asarray(images[0]) + 1) * 127.5).clip(0, 255).astype(np.uint8)
         mask = (np.asarray(masks[0, ..., 0]) * 255).astype(np.uint8)
@@ -127,11 +131,20 @@ def main(argv=None):
     parser.add_argument("out_dir")
     parser.add_argument("--limit", type=int, default=16)
     parser.add_argument("--out-size", type=int, default=480)
+    parser.add_argument("--flip-prob", type=float, default=0.0)
+    parser.add_argument("--jitter", type=float, default=0.0)
+    parser.add_argument("--rotate", type=float, default=0.0,
+                        help="max +-degrees; applied to every sample "
+                             "(QA mode) when set")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     if args.mode == "show-dataset":
         n = show_dataset(args.dataset_dir, args.out_dir, args.limit)
     else:
-        n = show_aug(args.dataset_dir, args.out_dir, args.limit, args.out_size)
+        n = show_aug(args.dataset_dir, args.out_dir, args.limit,
+                     args.out_size, flip_prob=args.flip_prob,
+                     jitter=args.jitter, rotate=args.rotate,
+                     seed=args.seed)
     print(f"wrote {n} grids to {args.out_dir}")
     return 0
 
