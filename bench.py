@@ -82,6 +82,12 @@ def _timed_loop(bench_loop, batch) -> float:
 
 ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "4"))
 ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+#: total wall-clock budget across all attempts: a fast-failing backend
+#: (UNAVAILABLE raise) retries several times well inside this, while a
+#: HANGING tunnel (jax.devices() black-holes; observed r4) burns at
+#: most ~2 timed-out children instead of ATTEMPTS x 25 min of driver
+#: time
+TOTAL_DEADLINE_S = int(os.environ.get("BENCH_TOTAL_DEADLINE", "3300"))
 _CHILD_ENV = "_BENCH_CHILD"
 
 
@@ -95,14 +101,22 @@ def _is_metric_line(line: str) -> bool:
 
 def _supervise() -> int:
     delay = 10.0
+    t0 = time.monotonic()
     for attempt in range(1, ATTEMPTS + 1):
+        budget = TOTAL_DEADLINE_S - (time.monotonic() - t0)
+        if attempt > 1 and budget < 240:
+            sys.stderr.write(
+                f"[bench] total deadline {TOTAL_DEADLINE_S}s exhausted "
+                f"after {attempt - 1} attempts\n"
+            )
+            break
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, _CHILD_ENV: "1"},
                 capture_output=True,
                 text=True,
-                timeout=ATTEMPT_TIMEOUT_S,
+                timeout=min(ATTEMPT_TIMEOUT_S, max(240, budget)),
             )
         except subprocess.TimeoutExpired as e:
             sys.stderr.write(

@@ -95,6 +95,27 @@ def test_supervise_rc1_when_all_attempts_fail(monkeypatch):
     assert bench._supervise() == 1
 
 
+def test_supervise_total_deadline_caps_hang_retries(monkeypatch):
+    """Hanging attempts consume the total deadline: the supervisor must
+    stop early instead of burning ATTEMPTS x ATTEMPT_TIMEOUT of driver
+    wall-clock."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    attempts = []
+
+    def fake_run(cmd, **kw):
+        attempts.append(kw["timeout"])
+        clock["t"] += kw["timeout"]  # the child hung for its whole budget
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    assert bench._supervise() == 1
+    assert sum(attempts) <= bench.TOTAL_DEADLINE_S + 240
+    assert len(attempts) < bench.ATTEMPTS
+
+
 def test_supervise_handles_hang_timeout(monkeypatch):
     """A hung child (tunnel black-holes jax.devices()) is killed by the
     per-attempt timeout instead of erasing the round's benchmark."""
