@@ -178,3 +178,48 @@ def test_parallel_engine_serving_frontend():
         assert m.dtype == np.uint8
         assert set(np.unique(m)) <= {0, 255}
     assert srv.served == 5
+
+
+def test_parallel_engine_fused_stem_and_quant(batch8):
+    """The DP engine's r4 serving knobs on the 8-device mesh:
+    fused_stem (patch-folded conditioning) matches the dense render,
+    and a calibrated quant collection serves agreeing masks."""
+    from instancesegmentation_tpu.models.quantize import calibrate
+    from instancesegmentation_tpu.parallel.inference import (
+        ParallelInferenceEngine,
+    )
+
+    model = Segment(in_channels=20, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 17)),
+    )
+    dense = ParallelInferenceEngine(
+        variables, in_channels=20, size=64, dtype=jnp.float32
+    )
+    folded = ParallelInferenceEngine(
+        variables, in_channels=20, size=64, dtype=jnp.float32,
+        fused_stem=True,
+    )
+    p0, m0 = dense.predict_instances(batch8)
+    p1, m1 = folded.predict_instances(batch8)
+    np.testing.assert_allclose(p1, p0, atol=2e-4)
+    assert (m0 == m1).mean() > 0.999
+
+    # quantized DP serving: calibrate on one synthetic batch, then the
+    # int8 engine's masks must agree with float almost everywhere
+    rng = np.random.default_rng(0)
+    calib_model = Segment(
+        in_channels=20, dtype=jnp.float32, quant_mode="calibrate"
+    )
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32))
+    hm = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 17)).astype(np.float32))
+    qvars = calibrate(calib_model, variables, [(x, hm)])
+    quant = ParallelInferenceEngine(
+        variables, in_channels=20, size=64, dtype=jnp.float32, quant=qvars,
+    )
+    pq, mq = quant.predict_instances(batch8)
+    assert pq.shape == p0.shape
+    agree = (mq == m0).mean()
+    assert agree > 0.98, agree
