@@ -129,6 +129,11 @@ def nms_pallas(
     from jax.experimental import pallas as pl
 
     n = boxes.shape[0]
+    if n > 1408:
+        # N x N f32 suppression matrix would crowd the ~16 MB VMEM;
+        # static-shape fallback to the XLA scan (trace-time branch)
+        return nms(boxes, scores, iou_threshold, max_outputs,
+                   score_threshold)
     k = n if max_outputs is None else max_outputs
     order = jnp.argsort(-scores, stable=True)
     sboxes = boxes[order]
