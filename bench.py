@@ -110,18 +110,23 @@ def _supervise() -> int:
                 f"after {attempt - 1} attempts\n"
             )
             break
+        attempt_timeout = min(ATTEMPT_TIMEOUT_S, max(240, budget))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, _CHILD_ENV: "1"},
                 capture_output=True,
                 text=True,
-                timeout=min(ATTEMPT_TIMEOUT_S, max(240, budget)),
+                timeout=attempt_timeout,
             )
         except subprocess.TimeoutExpired as e:
+            # TimeoutExpired.stderr is bytes even with text=True
+            es = e.stderr
+            if isinstance(es, bytes):
+                es = es.decode(errors="replace")
             sys.stderr.write(
                 f"[bench] attempt {attempt}/{ATTEMPTS}: timed out after "
-                f"{ATTEMPT_TIMEOUT_S}s\n{(e.stderr or '')[-2000:]}\n"
+                f"{attempt_timeout:.0f}s\n{(es or '')[-2000:]}\n"
             )
             r = None
         if r is not None:

@@ -119,9 +119,6 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
     # (the reference recomputes mask2box on the translated mask; a plain
     # clip(bbox + t) is wider for non-rectangular masks near the edge)
     t = jax.vmap(center_translation)(obj_box, image_hw)
-    mask_box, mask_valid = jax.vmap(clipped_mask_box)(
-        batch["mask"], t, image_hw
-    )
 
     jitter = (
         jax.random.uniform(r_jit, (b, 4), minval=-cfg.jitter, maxval=cfg.jitter)
@@ -191,6 +188,12 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         kps = batch["keypoints"].astype(jnp.float32)
         pts = jax.vmap(warp_points_rotated)(kps[..., :2], base_params)
     else:
+        # (computed here, not above: the rotated branch derives its own
+        # rotated-frame box and this O(canvas^2) reduction would be
+        # dead weight for eager callers like tools/show_aug.py)
+        mask_box, mask_valid = jax.vmap(clipped_mask_box)(
+            batch["mask"], t, image_hw
+        )
         box_args = (obj_box, mask_box, image_hw, mask_valid)
         if jitter is not None:
             params = jax.vmap(

@@ -242,9 +242,10 @@ def make_hard_dataset(
     (modal) masks — front bodies erase occluded parts of back bodies,
     exactly how COCO/OCHuman annotate crowd masks.  Keypoints: 'vis'
     where the part lands on the instance's own visible mask, 'not_vis'
-    where occluded or off-canvas (OCHuman's occluded labels,
-    transfer_ochuman.py:83-89), and 'missing' with ``missing_prob``
-    (truncated annotations).  Colors come from a small shaded palette
+    where occluded by a nearer body (OCHuman's occluded labels,
+    transfer_ochuman.py:83-89), and 'missing' for off-canvas parts
+    (COCO's v=0 truncation) or with ``missing_prob`` (dropped
+    annotations).  Colors come from a small shaded palette
     so appearance is deliberately ambiguous between neighbours — box
     geometry + keypoints are the usable signals, as in real crowds.
 
@@ -323,10 +324,13 @@ def make_hard_dataset(
             body = {}
             for p_i, part in enumerate(ORDER_PART_NAMES):
                 x, y = float(kp[p_i, 0]), float(kp[p_i, 1])
-                inside = 0 <= int(y) < h and 0 <= int(x) < w
+                # floor, not int(): int(-0.5) == 0 would count y in
+                # (-1, 0) as on-canvas row 0
+                iy, ix = int(np.floor(y)), int(np.floor(x))
+                inside = 0 <= iy < h and 0 <= ix < w
                 if rng.random() < missing_prob or not inside:
                     status = "missing"
-                elif visible[int(y), int(x)] > 0:
+                elif visible[iy, ix] > 0:
                     status = "vis"
                 else:
                     status = "not_vis"  # occluded by a nearer body

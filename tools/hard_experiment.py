@@ -136,7 +136,7 @@ def main(argv=None) -> int:
                     "heatmaps (use_keypoints=False)",
         },
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print("wrote", args.out)

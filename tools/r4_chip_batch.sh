@@ -3,7 +3,7 @@
 # the axon tunnel is up.  Each step is independently timeboxed and
 # logged; artifacts land at the repo root for ROOFLINE.md/the judge.
 #
-#   bash tools/r4_chip_batch.sh [outdir]
+#   bash tools/r4_chip_batch.sh
 #
 # Steps:
 #   1. int8 gate probe           -> INT8_PROBE.json        (next#2)
@@ -14,7 +14,8 @@
 #                                   ROOFLINE_train_fused.json (next#4)
 #   5. headline bench (resilient supervisor) -> bench_r4.log (next#1)
 cd "$(dirname "$0")/.." || exit 1
-OUT="${1:-.}"
+# all artifacts land at the repo root (where the judge and ROOFLINE.md look)
+OUT=.
 log() { echo "[r4-batch $(date +%H:%M:%S)] $*"; }
 
 log "1/5 int8 probe"
