@@ -89,3 +89,22 @@ def test_crowding_occlusion_and_scale_range(hard):
     assert statuses["not_vis"] > 30, statuses
     # >=4x scale range across the set
     assert max(heights) / max(min(heights), 1) >= 4.0, (min(heights), max(heights))
+
+
+def test_non_missing_keypoints_are_on_canvas(hard):
+    """Regression: coordinates in (-1, 0) must be 'missing', not clamped
+    to row/col 0 by int() truncation — every stored (non-missing) point
+    lies strictly on canvas."""
+    h, w = 240, 320
+    n_checked = 0
+    for ann in _anns(hard):
+        for o in ann[K_OBJS]:
+            for part in ORDER_PART_NAMES:
+                kp = o[K_BODY][key_combine(part, "sub_dict")]
+                if kp[K_STATUS] == "missing":
+                    assert key_combine("point", "point_xy") not in kp
+                    continue
+                x, y = kp[key_combine("point", "point_xy")]
+                assert 0 <= x < w and 0 <= y < h, (part, x, y)
+                n_checked += 1
+    assert n_checked > 100  # the invariant actually got exercised
