@@ -70,10 +70,18 @@ run_step train_rot_roofline 2000 /tmp/roofline_train_rot.out \
   python tools/roofline.py --mode train_rot --batches 128 --json ROOFLINE_train_rot.json
 
 log "5/5 headline bench"
-# bench.py has its own parent-supervisor retries/deadline; one attempt here.
-timeout 4000 python bench.py 2>/tmp/bench_r4.err | tee "$OUT/bench_r4.log"
+# bench.py has its own parent-supervisor retries/deadline; redirect to
+# the log (NOT a tee pipeline — $? must be bench's rc, not tee's) and
+# give the whole supervisor one extra attempt.
+timeout 4000 python bench.py >"$OUT/bench_r4.log" 2>/tmp/bench_r4.err
 rc=$?
-[ "$rc" -ne 0 ] && { log "bench rc=$rc; one retry after 180s"; sleep 180; \
-  timeout 4000 python bench.py 2>>/tmp/bench_r4.err | tee "$OUT/bench_r4.log"; }
+cat "$OUT/bench_r4.log"
+if [ "$rc" -ne 0 ]; then
+  log "bench rc=$rc; one retry after 180s"; sleep 180
+  timeout 4000 python bench.py >"$OUT/bench_r4.log" 2>>/tmp/bench_r4.err
+  rc=$?
+  cat "$OUT/bench_r4.log"
+fi
+[ "$rc" -ne 0 ] && log "bench FAILED rc=$rc"
 
 log "done"
