@@ -273,17 +273,21 @@ class InferenceEngine:
         threshold: float = 0.5,
         fused_stem: bool = False,
         quant: Optional[dict] = None,
+        quant_mode: str = "int8_mxu",
     ):
         """``quant``: a calibrated ``quant`` collection
         (models/quantize.calibrate) switches the backbone convs to the
-        int8 PTQ path; the folded head stays float.  ``fused_stem``
-        folds the 17-channel heatmap conditioning through the stem as
-        keypoint patches (models/fused_stem_hm) — composes with
-        ``quant`` (the folded stem stays float, interior convs
-        quantize)."""
+        int8 PTQ path; the folded head stays float.  ``quant_mode``
+        picks the variant when ``quant`` is given — "int8_mxu"
+        (default; only the spatial non-grouped convs, the ones the chip
+        probe shows win — layers._int8_selected) or "int8" (every
+        conv).  One calibration serves both.  ``fused_stem`` folds the
+        17-channel heatmap conditioning through the stem as keypoint
+        patches (models/fused_stem_hm) — composes with ``quant`` (the
+        folded stem stays float, interior convs quantize)."""
         self.model = Segment(
             in_channels=in_channels, dtype=dtype,
-            quant_mode="int8" if quant is not None else "off",
+            quant_mode=quant_mode if quant is not None else "off",
         )
         self.size = size
         self.threshold = threshold

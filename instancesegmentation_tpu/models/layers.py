@@ -156,6 +156,22 @@ class _Int8Conv(nn.Module):
         return y.astype(self.dtype)
 
 
+def _int8_selected(mode: str, k: Tuple[int, int], groups: int) -> bool:
+    """Which convs a quant_mode covers.
+
+    "int8" / "calibrate": every conv (calibrate must record amax for
+    all convs so ONE calibration pass serves every int8 variant).
+    "int8_mxu": only spatial (k>=2), non-grouped convs — the chip probe
+    (INT8_PROBE.json, r4) measured int8 3x3 convs at 0.69-0.79x bf16
+    but 1x1 convs at 0.99-1.92x and depthwise at 1.05-1.64x (the
+    quantize/dequantize epilogues cost more than the tiny MACs save),
+    so the selective mode keeps the losers float.
+    """
+    if mode == "int8_mxu":
+        return groups == 1 and max(k) >= 2
+    return True
+
+
 class ConvBN(nn.Module):
     """Conv2d(bias) + BatchNorm + activation (reference ``Conv``, ref :34-48).
 
@@ -163,9 +179,9 @@ class ConvBN(nn.Module):
     float32 regardless of compute dtype; ``bn_axis_name`` enables
     cross-replica batch stats under shard_map/pmap.
 
-    ``quant_mode`` ("off" | "calibrate" | "int8") switches the conv to
-    the PTQ path at inference (train always runs float) — see
-    ``_Int8Conv`` / models/quantize.py.
+    ``quant_mode`` ("off" | "calibrate" | "int8" | "int8_mxu") switches
+    the conv to the PTQ path at inference (train always runs float) —
+    see ``_Int8Conv`` / ``_int8_selected`` / models/quantize.py.
     """
 
     features: int
@@ -183,7 +199,8 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         k = _pair(self.kernel)
         pad = self.padding if self.padding is not None else autopad(self.kernel)
-        if self.quant_mode != "off" and not train:
+        if (self.quant_mode != "off" and not train
+                and _int8_selected(self.quant_mode, k, self.groups)):
             x = _Int8Conv(
                 features=self.features,
                 kernel_size=k,
@@ -302,7 +319,9 @@ class RawConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.quant_mode != "off" and not train:
+        if (self.quant_mode != "off" and not train
+                and _int8_selected(self.quant_mode, _pair(self.kernel),
+                                   self.groups)):
             return _Int8Conv(
                 features=self.features,
                 kernel_size=_pair(self.kernel),

@@ -12,6 +12,12 @@ the ``quant_mode`` attribute threaded through every block:
   abs-max of its input into a ``quant`` variable collection.
 - ``quant_mode="int8"``: symmetric per-tensor activation / per-channel
   weight int8, s8 x s8 -> s32 convs, dequantize in the epilogue.
+- ``quant_mode="int8_mxu"``: int8 only for the convs the chip probe
+  measured as winners — spatial (k>=2), non-grouped; 1x1 and depthwise
+  convs stay float (INT8_PROBE.json: their quantize/dequantize
+  epilogues cost more than the MACs save).  Calibration records amax
+  for every conv, so the same ``quant`` collection serves both modes
+  (flax ignores the extra entries).
 
 Scales live OUTSIDE the checkpoint (a ``quant`` collection keyed like
 ``params``), so float checkpoints stay canonical and quantization is a

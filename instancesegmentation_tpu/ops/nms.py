@@ -148,7 +148,12 @@ def nms_pallas(
 
         def body(i, _):
             alive = alive_ref[...]
-            a_i = jax.lax.dynamic_slice(alive, (0, i), (1, 1))
+            # element i of the alive vector without dynamic_slice (Mosaic
+            # can't lower dynamic_slice on values — only ref dslices):
+            # mask-and-reduce against the iota instead
+            a_i = jnp.sum(
+                alive * (cols == i).astype(jnp.float32), axis=1, keepdims=True
+            )
             row = sup_ref[pl.dslice(i, 1), :]
             kill = row * a_i * (cols > i).astype(jnp.float32)
             alive_ref[...] = alive * (1.0 - kill)

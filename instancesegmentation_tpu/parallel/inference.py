@@ -33,6 +33,7 @@ class ParallelInferenceEngine:
         threshold: float = 0.5,
         fused_stem: bool = False,
         quant: Optional[dict] = None,
+        quant_mode: str = "int8_mxu",
     ):
         from instancesegmentation_tpu.models.segment import Segment
 
@@ -48,7 +49,7 @@ class ParallelInferenceEngine:
         self._quant = quant
         self.model = Segment(
             in_channels=in_channels, dtype=dtype,
-            quant_mode="int8" if quant is not None else "off",
+            quant_mode=quant_mode if quant is not None else "off",
         )
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
         self.variables = variables  # property: folds head + builds program

@@ -135,3 +135,70 @@ def test_int8_forward_tracks_float(in_channels=20):
     assert confident.mean() > 0.3  # the metric must not be vacuous
     agree = ((got > 0) == (ref > 0))[confident].mean()
     assert agree > 0.99, agree
+
+
+def test_int8_mxu_selective_mode(in_channels=20):
+    """int8_mxu quantizes only the spatial non-grouped convs (the chip
+    probe's winners); the shared calibration serves it (extra amax
+    entries for the float-kept convs are ignored), and it tracks the
+    float model at least as tightly as full int8."""
+    mf, images, hm = _model_and_inputs("off", in_channels=in_channels)
+    mc, _, _ = _model_and_inputs("calibrate", in_channels=in_channels)
+    mq, _, _ = _model_and_inputs("int8", in_channels=in_channels)
+    mx, _, _ = _model_and_inputs("int8_mxu", in_channels=in_channels)
+    variables = mf.init(jax.random.PRNGKey(0), images, hm)
+    qvars = calibrate(mc, variables, [(images, hm)])
+
+    # selective mode allocates strictly fewer quant variables than full
+    # int8 (the 1x1/depthwise convs stay float)
+    vx = mx.init(jax.random.PRNGKey(0), images, hm)
+    vq = mq.init(jax.random.PRNGKey(0), images, hm)
+    n_x = len(jax.tree_util.tree_leaves(vx["quant"]))
+    n_q = len(jax.tree_util.tree_leaves(vq["quant"]))
+    assert 0 < n_x < n_q, (n_x, n_q)
+    # param tree still bijective with the float checkpoint
+    assert _tree_shapes(variables["params"]) == _tree_shapes(vx["params"])
+
+    ref = np.asarray(mf.apply(variables, images, hm, train=False))
+    full = np.asarray(
+        mq.apply({**variables, "quant": qvars}, images, hm, train=False)
+    )
+    sel = np.asarray(
+        mx.apply({**variables, "quant": qvars}, images, hm, train=False)
+    )
+    spread = ref.std() + 1e-6
+    err_full = np.abs(full - ref).mean() / spread
+    err_sel = np.abs(sel - ref).mean() / spread
+    # fewer quantized convs => no more error than the full path (small
+    # slack for noise)
+    assert err_sel < err_full * 1.1 + 1e-3, (err_sel, err_full)
+    assert err_sel < 0.12, err_sel
+
+
+def test_engine_quant_mode_mxu():
+    """InferenceEngine(quant=..., quant_mode='int8_mxu') builds and
+    serves masks agreeing with float (default quant_mode path)."""
+    from instancesegmentation_tpu.infer.pipeline import InferenceEngine
+
+    rng = np.random.default_rng(3)
+    size = 64
+    mf = Segment(in_channels=3, dtype=jnp.float32)
+    variables = mf.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    images = [
+        rng.integers(0, 255, size=(72, 88, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    mc = Segment(in_channels=3, dtype=jnp.float32, quant_mode="calibrate")
+    cal = jnp.asarray(
+        np.stack([i[:64, :64] for i in images]).astype(np.float32)
+    ) / 127.5 - 1.0
+    qvars = calibrate(mc, variables, [cal])
+
+    ef = InferenceEngine(variables, in_channels=3, size=size, dtype=jnp.float32)
+    ex = InferenceEngine(
+        variables, in_channels=3, size=size, dtype=jnp.float32,
+        quant=qvars, quant_mode="int8_mxu",
+    )
+    for a, b in zip(ef.predict_images(images), ex.predict_images(images)):
+        assert a.shape == b.shape
+        assert (a == b).mean() > 0.9, (a == b).mean()

@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     mf = Segment(in_channels=3, dtype=dt16)
     mc = Segment(in_channels=3, dtype=dt16, quant_mode="calibrate")
     mq = Segment(in_channels=3, dtype=dt16, quant_mode="int8")
+    # selective variant: int8 only where the gate probe measured a win
+    # (spatial non-grouped convs); 1x1/depthwise stay float
+    mx = Segment(in_channels=3, dtype=dt16, quant_mode="int8_mxu")
     variables = jax.jit(mf.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
     )
@@ -103,22 +106,31 @@ def main(argv=None) -> int:
     )
     pf = np.asarray(forward(mf, variables, held), np.float32)
     pq = np.asarray(forward(mq, vq, held), np.float32)
+    px = np.asarray(forward(mx, vq, held), np.float32)
     agree = float(((pf > 0.5) == (pq > 0.5)).mean())
     mad = float(np.abs(pf - pq).mean())
+    agree_x = float(((pf > 0.5) == (px > 0.5)).mean())
+    mad_x = float(np.abs(pf - px).mean())
 
     n = b * args.iters
     t_bf = _timed(loop(mf, variables), batch_u8)
     t_q = _timed(loop(mq, vq), batch_u8)
+    t_x = _timed(loop(mx, vq), batch_u8)
 
     print(json.dumps({
         "batch": b, "size": size,
         "bf16_us_per_img": round(t_bf / n * 1e6, 2),
         "int8_us_per_img": round(t_q / n * 1e6, 2),
         "int8_over_bf16": round(t_q / t_bf, 3),
+        "int8_mxu_us_per_img": round(t_x / n * 1e6, 2),
+        "int8_mxu_over_bf16": round(t_x / t_bf, 3),
         "bf16_img_per_s": round(n / t_bf, 1),
         "int8_img_per_s": round(n / t_q, 1),
+        "int8_mxu_img_per_s": round(n / t_x, 1),
         "mask_agreement": round(agree, 5),
         "mean_abs_prob_delta": round(mad, 5),
+        "mask_agreement_mxu": round(agree_x, 5),
+        "mean_abs_prob_delta_mxu": round(mad_x, 5),
     }), flush=True)
     return 0
 
