@@ -59,14 +59,23 @@ FLAG_BATCH = 128    # like the whole-image program, the instance
 FLAG_ITERS = 20
 
 
-def _timed_loop(bench_loop, batch) -> float:
-    """Compile+warm with a value-forced call, then time one chained run."""
+def _timed_loop(bench_loop, batch, trials: int = 3) -> float:
+    """Compile+warm with a value-forced call, then best-of-``trials``.
+
+    Min time over repeated chained runs is the program's rate; the max
+    ablates transient tunnel interference (observed r2-r4 spread of
+    single-shot timings across sessions: 15.2-16.8k img/s, ~5%, all on
+    identical programs).  Each extra trial costs ~0.25 s device time.
+    """
     float(bench_loop(batch))
-    t0 = time.perf_counter()
-    checksum = float(bench_loop(batch))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    return dt
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        checksum = float(bench_loop(batch))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        best = min(best, dt)
+    return best
 
 
 # --------------------------------------------------------------------------

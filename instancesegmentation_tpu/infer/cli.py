@@ -47,14 +47,20 @@ def parse_args(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="int8 PTQ serving: calibrate on the first "
                              "--int8-calib-batches of the actual input "
-                             "source, then run backbone convs s8xs8->s32 "
-                             "(models/quantize.py)")
+                             "source, then run the spatial backbone convs "
+                             "s8xs8->s32 (models/quantize.py, selective "
+                             "int8_mxu mode).  Measured ~9%% SLOWER than "
+                             "bf16 on this memory-bound net (ROOFLINE.md "
+                             "r4) — a compat/accuracy knob, not a speed "
+                             "knob")
     parser.add_argument("--int8-calib-batches", type=int, default=2)
     parser.add_argument("--fused-stem", action="store_true",
                         help="conditioned (20-ch) checkpoints: fold the "
                              "heatmap conditioning through the stem as "
                              "keypoint patches instead of rendering the "
-                             "dense 17-ch stack (models/fused_stem_hm.py)")
+                             "dense 17-ch stack (models/fused_stem_hm.py). "
+                             "Measured ~3x slower than the dense render "
+                             "(ROOFLINE.md r4); kept for experimentation")
     return parser.parse_args(argv)
 
 

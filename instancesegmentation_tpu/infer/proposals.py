@@ -31,18 +31,31 @@ import numpy as np
 from instancesegmentation_tpu.infer.pipeline import MAX_BUCKET, InferenceEngine
 from instancesegmentation_tpu.ops.nms import nms, nms_pallas
 
-#: NMS backend for the serving path: "xla" (fori_loop scan) or
-#: "pallas" (single-kernel scan, ops/nms.nms_pallas).  Module-level so
-#: a measured winner (tools/nms_probe.py, NMS_PROBE.json) can flip the
-#: default in one place; both return identical keeps.
-NMS_IMPL = "xla"
+#: NMS backend for the serving path: "auto" (pallas on TPU, xla
+#: elsewhere), "xla" (fori_loop scan) or "pallas" (single-kernel scan,
+#: ops/nms.nms_pallas).  The measured winner (tools/nms_probe.py r4,
+#: NMS_PROBE.json) is the Pallas scan at every detection size on the
+#: chip — 0.89x XLA at N=128 down to 0.33x at N=1024, within 18% of
+#: the pure dispatch floor — so TPU defaults to it; Mosaic kernels
+#: don't lower on CPU, which keeps the XLA scan there.  Both return
+#: identical keeps (tests/test_detection_ops.py).
+NMS_IMPL = "auto"
+
+
+def _nms_impl() -> str:
+    if NMS_IMPL != "auto":
+        return NMS_IMPL
+    import jax
+
+    # the axon remote platform is a TPU behind a tunnel
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
 def _nms_keep(boxes: np.ndarray, scores: np.ndarray, nms_threshold: float,
               max_instances: int) -> np.ndarray:
     """Device NMS -> surviving indices (original order preserved by the
     score-sorted NMS; callers index boxes/scores/keypoints with it)."""
-    nms_fn = nms_pallas if NMS_IMPL == "pallas" else nms
+    nms_fn = nms_pallas if _nms_impl() == "pallas" else nms
     idx, valid = nms_fn(
         jnp.asarray(boxes), jnp.asarray(scores), nms_threshold,
         max_outputs=min(max_instances, boxes.shape[0]),

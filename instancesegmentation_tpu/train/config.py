@@ -82,9 +82,11 @@ class TrainConfig:
     # phase conv + exact edge conv1ds, re-derived from the live params
     # every step (differentiable, so gradients flow to the original
     # bottle6_* params).  Same math; bf16 reduction order differs
-    # slightly from the unfused pair.  Measured on-chip: see ROOFLINE.md
-    # training section.
-    fused_head: bool = False
+    # slightly from the unfused pair.  Measured on-chip (r4, 480²,
+    # ROOFLINE_train_fused.json): batch 8 382→677 img/s (+77%), batch
+    # 128 2,419→2,712 (+12%) — hence default ON; --fused-head false
+    # restores the unfused pair.
+    fused_head: bool = True
 
     # profiling (SURVEY.md §5 'tracing': jax.profiler traces +
     # step-time counters; 0 = off)

@@ -277,3 +277,16 @@ def test_fused_bottleneck_block_matches_reference():
     ref = np.asarray(bottleneck3x3_reference(*args))
     got = np.asarray(bottleneck3x3_fused(*args, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_nms_impl_auto_dispatch(monkeypatch):
+    """NMS_IMPL='auto' picks the Pallas scan only on TPU backends (the
+    measured winner, NMS_PROBE.json r4); the CPU test mesh gets the XLA
+    scan (Mosaic doesn't lower on CPU); explicit overrides win."""
+    from instancesegmentation_tpu.infer import proposals
+
+    assert proposals._nms_impl() == "xla"  # conftest forces CPU
+    monkeypatch.setattr(proposals, "NMS_IMPL", "pallas")
+    assert proposals._nms_impl() == "pallas"
+    monkeypatch.setattr(proposals, "NMS_IMPL", "xla")
+    assert proposals._nms_impl() == "xla"
