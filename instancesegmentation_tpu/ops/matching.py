@@ -70,7 +70,10 @@ def match_proposals_pallas(
 
     Unlike NMS there is no sequential scan here — the XLA formulation
     is a single fused max/argmax pass and is already at the op's
-    latency floor; this kernel exists to complete the Pallas op set and
+    latency floor (CONFIRMED on chip: MATCH_PROBE.json measures XLA at
+    0.93-1.08x a touch-the-input floor and this kernel at 0.83-1.08x
+    XLA, i.e. noise — `tools/match_probe.py`, ROOFLINE.md section 5);
+    this kernel exists to complete the Pallas op set and
     is bit-equivalent (first-argmax tie-breaking included, expressed as
     min-index-over-ties since Mosaic lacks a lane argmax).  Mosaic
     constraints: 2-D tiles, int32 iota, float masks.  [P, G] must fit
