@@ -69,6 +69,19 @@ class AugmentConfig:
                                    # sampler (ops/warp.warp_image_rotated)
     rotate_prob: float = 0.6       # per-sample probability a rotation is
                                    # applied (imgaug Sometimes(0.6, ...))
+    rotate_chunk: int = 0          # stage the rotated 4-tap gather in
+                                   # chunks of this many samples
+                                   # (lax.map batch_size) instead of one
+                                   # full-batch vmap.  Numerically
+                                   # identical (per-sample ops, no
+                                   # cross-batch math); bounds the live
+                                   # f32 canvas intermediates so the
+                                   # rotated warp composes with fwd/bwd
+                                   # at large batch without exhausting
+                                   # device memory (ROOFLINE.md §6: the
+                                   # unstaged batch-128 rotated train
+                                   # step faults the TPU worker).  0 =
+                                   # full-batch vmap.
     brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
     contrast: float = 0.0          # linear contrast range +-
     noise_std: float = 0.0         # additive gaussian noise std (0..255)
@@ -177,14 +190,28 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
             scale=jnp.where(flip[:, None], flipped.scale, params.scale),
             origin=jnp.where(flip[:, None], flipped.origin, params.origin),
         )
-        images, masks = jax.vmap(
-            lambda img, mask, p: (
+        def _warp_pair(img, mask, p):
+            return (
                 warp_image_rotated(img.astype(jnp.float32), p, out_hw),
                 warp_image_rotated(
                     mask[..., None].astype(jnp.float32), p, out_hw
                 ),
             )
-        )(batch["image"], batch["mask"], params)
+
+        if cfg.rotate_chunk and b > cfg.rotate_chunk:
+            # staged: lax.map(batch_size=k) scans chunk-vmapped warps so
+            # at most k f32 canvases + gather intermediates are live at
+            # once (vs b); required for the rotated warp to compose with
+            # fwd/bwd/Adam at batch 128 (ROOFLINE.md §6)
+            images, masks = jax.lax.map(
+                lambda t3: _warp_pair(*t3),
+                (batch["image"], batch["mask"], params),
+                batch_size=cfg.rotate_chunk,
+            )
+        else:
+            images, masks = jax.vmap(_warp_pair)(
+                batch["image"], batch["mask"], params
+            )
         kps = batch["keypoints"].astype(jnp.float32)
         pts = jax.vmap(warp_points_rotated)(kps[..., :2], base_params)
     else:

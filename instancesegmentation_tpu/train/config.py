@@ -55,6 +55,18 @@ class TrainConfig:
     rotate: float = 0.0            # max +- degrees (the reference's
                                    # commented-out +-25, ref :153-155)
     rotate_prob: float = 0.6       # imgaug Sometimes(0.6, ...) gate
+    rotate_chunk: int = 0          # stage the rotated warp in chunks of
+                                   # this many samples (lax.map batch_
+                                   # size) — numerically identical,
+                                   # bounds the live gather
+                                   # intermediates for memory-tight
+                                   # configs.  0 = full-batch vmap (the
+                                   # default: the real dispatched train
+                                   # step is measured-safe unstaged at
+                                   # batch 128, ROOFLINE.md §6 — only
+                                   # the roofline's 30-iter fori_loop
+                                   # harness faults the worker, staged
+                                   # or not)
     brightness: float = 0.0
     contrast: float = 0.0
     noise_std: float = 0.0

@@ -4,6 +4,7 @@ option): host oracle ``core.augment.Affine.rotate`` vs cv2, the device
 gather sampler ``ops.warp.warp_image_rotated`` vs both, and the
 pipeline-level invariants (θ=0 reduction to the separable path, flip
 mirror identity)."""
+import dataclasses
 import math
 
 import jax
@@ -282,3 +283,32 @@ def test_pipeline_rotation_runs_and_flip_mirrors():
     np.testing.assert_allclose(
         np.asarray(mk_f), np.asarray(masks)[:, :, ::-1, :], atol=1e-4
     )
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_pipeline_rotate_chunk_matches_full_vmap(chunk):
+    """Staged rotated warp (lax.map batch_size=k, ROOFLINE.md §6) is
+    bit-identical to the full-batch vmap — per-sample ops only, no
+    cross-batch math.  chunk=2 exercises the non-divisible remainder
+    (b=5), chunk=4 a single partial tail chunk."""
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    batch = _tiny_batch(b=5)
+    rng = jax.random.PRNGKey(3)
+    full = AugmentConfig(
+        out_size=(64, 64), rotate=25.0, rotate_prob=1.0, flip_prob=0.5
+    )
+    staged = dataclasses.replace(full, rotate_chunk=chunk)
+    ims_a = jax.jit(lambda bt, r: preprocess_batch(bt, r, full))(batch, rng)
+    ims_b = jax.jit(lambda bt, r: preprocess_batch(bt, r, staged))(batch, rng)
+    for a, b_ in zip(ims_a, ims_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # chunk >= b falls back to the vmap path (same compiled program)
+    big = dataclasses.replace(full, rotate_chunk=8)
+    ims_c = jax.jit(lambda bt, r: preprocess_batch(bt, r, big))(batch, rng)
+    for a, c in zip(ims_a, ims_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

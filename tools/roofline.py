@@ -100,7 +100,7 @@ def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
 
 def build_train(batch_size: int, size: int = 480, canvas: int = 640,
                 remat: bool = False, fused_head: bool = False,
-                rotate: float = 0.0):
+                rotate: float = 0.0, rotate_chunk: int | None = None):
     """Full training step: fused device preprocess (crop-warp + 17-ch
     heatmap render) + conditioned fwd/bwd + Adam update, single chip —
     exactly the program Trainer dispatches per step (train/steps.py).
@@ -124,6 +124,7 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640,
         rotate=rotate,
         remat=remat,
         fused_head=fused_head,
+        **({} if rotate_chunk is None else {"rotate_chunk": rotate_chunk}),
     )
     model = Segment(in_channels=20, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -294,7 +295,17 @@ def main() -> None:
         "pipeline (bench.py line 1)",
     )
     p.add_argument("--json", type=str, default=None, help="write results here")
+    p.add_argument(
+        "--iters", type=int, default=None,
+        help="fori_loop iterations per timing (default 30).  train_rot "
+        "needs <=~10: the axon worker faults on long loop compositions "
+        "of the rotated batch-128 step (ROOFLINE.md §6) while 5-10 "
+        "iteration loops and the real single-step dispatch run clean",
+    )
     args = p.parse_args()
+    if args.iters:
+        global ITERS
+        ITERS = args.iters
     if args.size is None:
         args.size = (
             480 if args.mode in ("train", "train_remat", "train_fused",

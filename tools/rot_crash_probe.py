@@ -47,6 +47,14 @@ OUT = 480
 STAGES = [
     "gather1", "gather8", "gather128", "maskbox128",
     "pre8", "pre128", "train8", "train128", "cost8",
+    # trainNNs runs the same batch-NNN rotated train step with the
+    # lax.map-staged warp (rotate_chunk=32); trainNNN forces
+    # rotate_chunk=0.  oneNN[s] dispatches ONE step (the Trainer's real
+    # per-step program, no fori_loop harness).  Measured verdict
+    # (ROOFLINE.md §6): one128 AND one128s pass, train128 AND train128s
+    # crash — the fault is the 30-iter fori_loop bench composition, not
+    # the train step; real rotated batch-128 training is safe.
+    "train128s", "one128", "one128s",
 ]
 
 
@@ -140,15 +148,31 @@ def _run_stage(stage: str) -> int:
             )
 
         checksum = float(run(batch))
-    elif stage.startswith("train"):
-        b = int(stage[len("train"):])
+    elif stage.startswith("train") or stage.startswith("one"):
+        # trainNN[s]: the roofline bench program (30-iter fori_loop of
+        # the step, state threaded/donated).  oneNN[s]: ONE dispatched
+        # train step — what Trainer actually runs per step — to separate
+        # a real train-step fault from a loop-composition artifact.
+        # 's' suffix = lax.map-staged rotated warp (rotate_chunk=32).
+        prefix = "train" if stage.startswith("train") else "one"
+        spec = stage[len(prefix):]
+        staged = spec.endswith("s")
+        b = int(spec.rstrip("s"))
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         sys.argv = ["rot_crash_probe"]
         from tools.roofline import build_train
 
-        single, bench_loop, args_ = build_train(b, OUT, rotate=25.0)
-        checksum = float(bench_loop(*args_))
+        single, bench_loop, args_ = build_train(
+            b, OUT, rotate=25.0, rotate_chunk=(32 if staged else 0)
+        )
+        if prefix == "one":
+            state, batch, rng = args_
+            state2, metrics = jax.jit(single)(state, batch, rng)
+            checksum = float(metrics["loss"])
+            del state2
+        else:
+            checksum = float(bench_loop(*args_))
     elif stage == "cost8":
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
