@@ -69,19 +69,28 @@ class AugmentConfig:
                                    # sampler (ops/warp.warp_image_rotated)
     rotate_prob: float = 0.6       # per-sample probability a rotation is
                                    # applied (imgaug Sometimes(0.6, ...))
-    rotate_chunk: int = 0          # stage the rotated 4-tap gather in
-                                   # chunks of this many samples
-                                   # (lax.map batch_size) instead of one
+    rotate_chunk: int = 0          # stage the rotated warp in chunks of
+                                   # this many samples (lax.map
+                                   # batch_size) instead of one
                                    # full-batch vmap.  Numerically
                                    # identical (per-sample ops, no
                                    # cross-batch math); bounds the live
-                                   # f32 canvas intermediates so the
-                                   # rotated warp composes with fwd/bwd
-                                   # at large batch without exhausting
-                                   # device memory (ROOFLINE.md §6: the
-                                   # unstaged batch-128 rotated train
-                                   # step faults the TPU worker).  0 =
-                                   # full-batch vmap.
+                                   # per-sample intermediates.  0 = impl
+                                   # default: full-batch vmap for
+                                   # "gather", 4 for "2pass" (whose
+                                   # banded one-hot tensors are ~786 MB
+                                   # f32 per sample at 640→480 and MUST
+                                   # be staged — ROOFLINE.md §7).
+    rotate_impl: str = "2pass"     # rotated sampler: "2pass" = banded
+                                   # one-hot matmul two-pass affine
+                                   # (ops/warp.warp_image_rotated_2pass,
+                                   # measured 6× the gather on chip,
+                                   # ROT_GATHER_VARIANTS.json);
+                                   # "gather" = per-pixel 4-tap gather
+                                   # (ops/warp.warp_image_rotated,
+                                   # bit-matches the one-pass bilinear
+                                   # oracle).  θ=0 both reduce exactly
+                                   # to the separable fast path.
     brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
     contrast: float = 0.0          # linear contrast range +-
     noise_std: float = 0.0         # additive gaussian noise std (0..255)
@@ -190,23 +199,45 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
             scale=jnp.where(flip[:, None], flipped.scale, params.scale),
             origin=jnp.where(flip[:, None], flipped.origin, params.origin),
         )
-        def _warp_pair(img, mask, p):
-            return (
-                warp_image_rotated(img.astype(jnp.float32), p, out_hw),
-                warp_image_rotated(
-                    mask[..., None].astype(jnp.float32), p, out_hw
-                ),
+        # the two-pass sampler divides by cosθ·scale (degenerate near
+        # 90°, ops/warp.py); max |θ| is the static cfg.rotate, so the
+        # fallback is a trace-time decision
+        use_2pass = cfg.rotate_impl == "2pass" and cfg.rotate < 60.0
+        if use_2pass:
+            from instancesegmentation_tpu.ops.warp import (
+                warp_image_rotated_2pass,
             )
 
-        if cfg.rotate_chunk and b > cfg.rotate_chunk:
-            # staged: lax.map(batch_size=k) scans chunk-vmapped warps so
-            # at most k f32 canvases + gather intermediates are live at
-            # once (vs b); required for the rotated warp to compose with
-            # fwd/bwd/Adam at batch 128 (ROOFLINE.md §6)
+            def _warp_pair(img, mask, p):
+                # one shared warp: image+mask concatenated so the two
+                # banded one-hot tensors are generated once per sample
+                both = warp_image_rotated_2pass(
+                    jnp.concatenate(
+                        [img.astype(jnp.float32),
+                         mask[..., None].astype(jnp.float32)], axis=-1
+                    ),
+                    p, out_hw,
+                )
+                return both[..., :3], both[..., 3:]
+        else:
+            def _warp_pair(img, mask, p):
+                return (
+                    warp_image_rotated(img.astype(jnp.float32), p, out_hw),
+                    warp_image_rotated(
+                        mask[..., None].astype(jnp.float32), p, out_hw
+                    ),
+                )
+
+        # staged execution: lax.map(batch_size=k) scans chunk-vmapped
+        # warps so at most k samples' intermediates are live at once.
+        # Mandatory for 2pass (its per-sample one-hot tensors are
+        # ~786 MB f32 at 640→480); optional memory bound for gather.
+        chunk = cfg.rotate_chunk or (4 if cfg.rotate_impl == "2pass" else 0)
+        if chunk and b > chunk:
             images, masks = jax.lax.map(
                 lambda t3: _warp_pair(*t3),
                 (batch["image"], batch["mask"], params),
-                batch_size=cfg.rotate_chunk,
+                batch_size=chunk,
             )
         else:
             images, masks = jax.vmap(_warp_pair)(

@@ -412,6 +412,90 @@ def warp_image_rotated(
     return out
 
 
+def warp_image_rotated_2pass(
+    image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int]
+) -> jax.Array:
+    """Two-pass (Catmull–Smith) form of ``warp_image_rotated``: the
+    affine sample decomposed into a horizontal then a vertical 1-D lerp
+    resample, each expressed as a banded one-hot contraction the MXU
+    executes.  Measured on chip (ROT_GATHER_VARIANTS.json, ROOFLINE.md
+    §7): 2.19 ms/img vs 13.0 ms for the per-pixel 4-tap gather at the
+    640→480 training shape — the TPU runs the dense banded matmul 6×
+    faster than the latency-bound gather even though the one-hot is
+    materialized.
+
+    Same inverse affine map as ``warp_image_rotated``; per-tap
+    boundary/window zeroing matches tap-for-tap on each axis, and the
+    rotation cut is applied as exact separable row/column masks.  The
+    only sampling difference from the one-pass form is standard
+    two-pass semantics: the horizontal lerp is evaluated at the integer
+    source rows instead of the fractional ``sy`` (θ=0 reduces EXACTLY
+    to the one-pass separable bilinear — tests/test_rotation.py).
+
+    VALID FOR |θ| well below 90° only (the pass-1 offsets divide by
+    ``m00 = cosθ·scale_y``; the classic two-pass bottleneck degenerates
+    as cosθ→0).  The augmentation contract is ±25°; the pipeline
+    statically falls back to the gather sampler for ``rotate >= 60``.
+    Per-sample transient: one [h, w, out_w] + one [out_w, h, out_h]
+    hat tensor (~786 MB f32 at 640→480) — batch callers must stage
+    (``AugmentConfig.rotate_chunk``; pipeline auto-chunks this impl).
+    """
+    out_h, out_w = out_hw
+    h, w = image.shape[0], image.shape[1]
+    f32 = jnp.float32
+    cth, sth = params.cos_sin[0], params.cos_sin[1]
+    a_y, a_x = params.scale[0], params.scale[1]
+    b_y = 0.5 * a_y - 0.5 + params.origin[0]
+    b_x = 0.5 * a_x - 0.5 + params.origin[1]
+    cy, cx = params.center[0], params.center[1]
+    # src = center + R(-theta) @ (p_rot - center) - t, p_rot affine in
+    # (u, v)  =>  [sy; sx] = M [u; v] + k
+    m00, m01 = cth * a_y, -sth * a_x
+    m10, m11 = sth * a_y, cth * a_x
+    ky0 = cy + cth * (b_y - cy) - sth * (b_x - cx) - params.t[0]
+    kx0 = cx + sth * (b_y - cy) + cth * (b_x - cx) - params.t[1]
+
+    def hat(pos, n_in, lo, hi):
+        """[..., n_in] bilinear hat row at fractional position ``pos``
+        with per-tap validity [max(0,lo), min(n,hi)) — identical to the
+        gather's per-tap ok mask on this axis."""
+        taps = jax.lax.broadcasted_iota(jnp.int32, (n_in,), 0).astype(f32)
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - taps))
+        ok = (taps >= jnp.maximum(0.0, lo)) & (taps < jnp.minimum(
+            jnp.float32(n_in), hi))
+        return wgt * ok.astype(f32)
+
+    # pass 1 (horizontal, evaluated at integer canvas rows y):
+    # X(y, v) = (m10/m00) y + (m11 - m10 m01 / m00) v + (kx0 - m10 ky0 / m00)
+    yi = jax.lax.broadcasted_iota(f32, (h, out_w), 0)
+    vi = jax.lax.broadcasted_iota(f32, (h, out_w), 1)
+    xpos = (m11 - m10 * m01 / m00) * vi + (m10 / m00) * yi + (
+        kx0 - m10 * ky0 / m00
+    )
+    k1 = hat(xpos, w, params.src_lo[1], params.src_hi[1])   # [h, v, w]
+    img_f = image.astype(f32)
+    tmp = jnp.einsum("ywc,yvw->yvc", img_f, k1)              # [h, v, c]
+
+    # pass 2 (vertical): Y(u, v) = m00 u + m01 v + ky0
+    ui = jax.lax.broadcasted_iota(f32, (out_h, out_w), 0)
+    vi2 = jax.lax.broadcasted_iota(f32, (out_h, out_w), 1)
+    ypos = m00 * ui + m01 * vi2 + ky0
+    k2 = hat(
+        jnp.transpose(ypos), h, params.src_lo[0], params.src_hi[0]
+    )                                                        # [v, u, y]
+    out = jnp.einsum(
+        "vyc,vuy->uvc", jnp.transpose(tmp, (1, 0, 2)), k2
+    )
+
+    # rotation cut (p_rot within the canvas) is exactly separable:
+    # py depends only on u, px only on v
+    pyu = a_y * jax.lax.broadcasted_iota(f32, (out_h,), 0) + b_y
+    pxv = a_x * jax.lax.broadcasted_iota(f32, (out_w,), 0) + b_x
+    row_ok = (pyu >= 0) & (pyu < params.canvas_hw[0])
+    col_ok = (pxv >= 0) & (pxv < params.canvas_hw[1])
+    return out * (row_ok[:, None] & col_ok[None, :]).astype(f32)[..., None]
+
+
 def warp_points_rotated(points_xy: jax.Array, params: RotWarpParams) -> jax.Array:
     """Map [K, 2] (x, y) source points through translate -> rotate ->
     window into output coordinates (imgaug ratio convention, as

@@ -57,16 +57,15 @@ class TrainConfig:
     rotate_prob: float = 0.6       # imgaug Sometimes(0.6, ...) gate
     rotate_chunk: int = 0          # stage the rotated warp in chunks of
                                    # this many samples (lax.map batch_
-                                   # size) — numerically identical,
-                                   # bounds the live gather
-                                   # intermediates for memory-tight
-                                   # configs.  0 = full-batch vmap (the
-                                   # default: the real dispatched train
-                                   # step is measured-safe unstaged at
-                                   # batch 128, ROOFLINE.md §6 — only
-                                   # the roofline's 30-iter fori_loop
-                                   # harness faults the worker, staged
-                                   # or not)
+                                   # size) — numerically identical.
+                                   # 0 = impl default (full-batch vmap
+                                   # for gather; 4 for 2pass, whose
+                                   # banded one-hot tensors must be
+                                   # staged — ROOFLINE.md §6/§7)
+    rotate_impl: str = "2pass"     # "2pass" banded-matmul affine
+                                   # (measured 6× the gather on chip) |
+                                   # "gather" 4-tap per-pixel (bit-
+                                   # matches the one-pass oracle)
     brightness: float = 0.0
     contrast: float = 0.0
     noise_std: float = 0.0

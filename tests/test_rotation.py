@@ -285,6 +285,86 @@ def test_pipeline_rotation_runs_and_flip_mirrors():
     )
 
 
+@pytest.mark.parametrize("deg", [-25.0, 13.0, 40.0])
+def test_2pass_rotation_matches_cv2(deg):
+    """The banded-matmul two-pass sampler holds the same cv2 agreement
+    bound as the gather sampler (interior ~1 LSB on smooth images).
+    Moderate angles only: the two-pass decomposition degenerates near
+    ±90° (ops/warp.py docstring; the pipeline falls back to gather)."""
+    from instancesegmentation_tpu.ops.warp import warp_image_rotated_2pass
+
+    h, w = 96, 128
+    img = _smooth_image(h, w)
+    host = Affine.rotate(deg, (h, w)).apply_image(img)
+
+    theta = math.radians(deg)
+    hw = jnp.asarray([h, w], jnp.float32)
+    p = RotWarpParams(
+        scale=jnp.asarray([1.0, 1.0]),
+        origin=jnp.asarray([0.0, 0.0]),
+        cos_sin=jnp.asarray([math.cos(theta), math.sin(theta)]),
+        center=jnp.asarray([h / 2.0 - 0.5, w / 2.0 - 0.5]),
+        t=jnp.asarray([0.0, 0.0]),
+        src_lo=jnp.asarray([0.0, 0.0]),
+        src_hi=hw,
+        canvas_hw=hw,
+    )
+    dev = np.asarray(warp_image_rotated_2pass(jnp.asarray(img), p, (h, w)))
+    assert np.mean(np.abs(dev - host)) < 1.0
+    assert np.percentile(np.abs(dev - host), 99) < 6.0
+
+
+def test_2pass_zero_angle_exact_and_small_angle_close():
+    """θ=0: the two-pass sampler is numerically the separable bilinear
+    (same taps, same weights).  Small angles: interior agreement with
+    the one-pass gather stays tight on smooth images (the two differ
+    only by the horizontal-lerp-at-integer-rows two-pass semantics)."""
+    from instancesegmentation_tpu.ops.warp import warp_image_rotated_2pass
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    hw = jnp.asarray([h, w], jnp.float32)
+    t = center_translation(obj_box, hw)
+
+    for deg, atol_mean in ((0.0, 1e-3), (17.0, 0.5)):
+        theta = jnp.asarray(math.radians(deg))
+        rbox, rvalid = rotated_mask_box(jnp.asarray(mask), t, theta, hw)
+        params = rotated_instance_warp_params(
+            obj_box, rbox, hw, theta, (out, out), 16, rvalid
+        )
+        a = np.asarray(warp_image_rotated(jnp.asarray(img), params, (out, out)))
+        b = np.asarray(
+            warp_image_rotated_2pass(jnp.asarray(img), params, (out, out))
+        )
+        if deg == 0.0:
+            np.testing.assert_allclose(a, b, atol=1e-3)
+        else:
+            assert np.mean(np.abs(a - b)) < atol_mean
+
+
+def test_pipeline_rotate_impls_agree():
+    """preprocess_batch with rotate_impl='2pass' (default) vs 'gather'
+    produces closely matching images/masks on the synthetic batch."""
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    batch = _tiny_batch(b=4)
+    rng = jax.random.PRNGKey(11)
+    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0)
+    gat = dataclasses.replace(two, rotate_impl="gather")
+    im_a, hm_a, mk_a = preprocess_batch(batch, rng, two)
+    im_b, hm_b, mk_b = preprocess_batch(batch, rng, gat)
+    # images live in [-1, 1]; masks in [0, 1].  Two-pass vs one-pass
+    # sampling differs pointwise near edges; means must be tight.
+    assert float(jnp.mean(jnp.abs(im_a - im_b))) < 0.02
+    assert float(jnp.mean(jnp.abs(mk_a - mk_b))) < 0.02
+    np.testing.assert_array_equal(np.asarray(hm_a), np.asarray(hm_b))
+
+
 @pytest.mark.parametrize("chunk", [2, 4])
 def test_pipeline_rotate_chunk_matches_full_vmap(chunk):
     """Staged rotated warp (lax.map batch_size=k, ROOFLINE.md §6) is
