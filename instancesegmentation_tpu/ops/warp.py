@@ -413,7 +413,8 @@ def warp_image_rotated(
 
 
 def warp_image_rotated_2pass(
-    image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int]
+    image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int],
+    hat_dtype=jnp.float32,
 ) -> jax.Array:
     """Two-pass (Catmull–Smith) form of ``warp_image_rotated``: the
     affine sample decomposed into a horizontal then a vertical 1-D lerp
@@ -429,16 +430,24 @@ def warp_image_rotated_2pass(
     rotation cut is applied as exact separable row/column masks.  The
     only sampling difference from the one-pass form is standard
     two-pass semantics: the horizontal lerp is evaluated at the integer
-    source rows instead of the fractional ``sy`` (θ=0 reduces EXACTLY
-    to the one-pass separable bilinear — tests/test_rotation.py).
+    source rows instead of the fractional ``sy`` (with f32 hats, θ=0
+    reduces EXACTLY to the one-pass separable bilinear —
+    tests/test_rotation.py).
 
     VALID FOR |θ| well below 90° only (the pass-1 offsets divide by
     ``m00 = cosθ·scale_y``; the classic two-pass bottleneck degenerates
     as cosθ→0).  The augmentation contract is ±25°; the pipeline
     statically falls back to the gather sampler for ``rotate >= 60``.
     Per-sample transient: one [h, w, out_w] + one [out_w, h, out_h]
-    hat tensor (~786 MB f32 at 640→480) — batch callers must stage
+    hat tensor — batch callers must stage
     (``AugmentConfig.rotate_chunk``; pipeline auto-chunks this impl).
+    ``hat_dtype`` is the hat/operand dtype (accumulation always f32 via
+    ``preferred_element_type``).  bf16 hats were measured
+    throughput-NEUTRAL on chip (472.9 vs 474.5 µs/img at batch 128,
+    ROT_TIME_PROBE.json — the materialized-hat bytes are not the
+    binding term), so the default stays f32; the knob remains for
+    memory-tight configs (bf16 tap weights quantize at ~2^-8, still
+    finer than the cv2 oracle's 1/32 fixed-point taps).
     """
     out_h, out_w = out_hw
     h, w = image.shape[0], image.shape[1]
@@ -472,9 +481,13 @@ def warp_image_rotated_2pass(
     xpos = (m11 - m10 * m01 / m00) * vi + (m10 / m00) * yi + (
         kx0 - m10 * ky0 / m00
     )
-    k1 = hat(xpos, w, params.src_lo[1], params.src_hi[1])   # [h, v, w]
-    img_f = image.astype(f32)
-    tmp = jnp.einsum("ywc,yvw->yvc", img_f, k1)              # [h, v, c]
+    k1 = hat(xpos, w, params.src_lo[1], params.src_hi[1]).astype(
+        hat_dtype
+    )                                                        # [h, v, w]
+    tmp = jnp.einsum(
+        "ywc,yvw->yvc", image.astype(hat_dtype), k1,
+        preferred_element_type=f32,
+    )                                                        # [h, v, c]
 
     # pass 2 (vertical): Y(u, v) = m00 u + m01 v + ky0
     ui = jax.lax.broadcasted_iota(f32, (out_h, out_w), 0)
@@ -482,9 +495,11 @@ def warp_image_rotated_2pass(
     ypos = m00 * ui + m01 * vi2 + ky0
     k2 = hat(
         jnp.transpose(ypos), h, params.src_lo[0], params.src_hi[0]
-    )                                                        # [v, u, y]
+    ).astype(hat_dtype)                                      # [v, u, y]
     out = jnp.einsum(
-        "vyc,vuy->uvc", jnp.transpose(tmp, (1, 0, 2)), k2
+        "vyc,vuy->uvc",
+        jnp.transpose(tmp, (1, 0, 2)).astype(hat_dtype), k2,
+        preferred_element_type=f32,
     )
 
     # rotation cut (p_rot within the canvas) is exactly separable:

@@ -335,13 +335,23 @@ def test_2pass_zero_angle_exact_and_small_angle_close():
             obj_box, rbox, hw, theta, (out, out), 16, rvalid
         )
         a = np.asarray(warp_image_rotated(jnp.asarray(img), params, (out, out)))
-        b = np.asarray(
+        b32 = np.asarray(
             warp_image_rotated_2pass(jnp.asarray(img), params, (out, out))
         )
+        b16 = np.asarray(warp_image_rotated_2pass(
+            jnp.asarray(img), params, (out, out), hat_dtype=jnp.bfloat16
+        ))
         if deg == 0.0:
-            np.testing.assert_allclose(a, b, atol=1e-3)
+            # f32 hats (default): numerically the separable bilinear;
+            # the bf16 hat_dtype knob quantizes tap weights at ~2^-8 —
+            # still finer than cv2's 1/32 fixed-point taps (≤ ~1 LSB
+            # on 255-scale); measured throughput-neutral so f32 ships
+            np.testing.assert_allclose(a, b32, atol=1e-3)
+            assert np.mean(np.abs(a - b16)) < 0.5
+            assert np.max(np.abs(a - b16)) < 2.0
         else:
-            assert np.mean(np.abs(a - b)) < atol_mean
+            assert np.mean(np.abs(a - b32)) < atol_mean
+            assert np.mean(np.abs(a - b16)) < atol_mean + 0.5
 
 
 def test_pipeline_rotate_impls_agree():

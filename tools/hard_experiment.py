@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                    help="cap eval images (0 = all)")
     p.add_argument("--flip-prob", type=float, default=0.5)
     p.add_argument("--rotate", type=float, default=0.0)
+    p.add_argument("--rotate-impl", default="2pass",
+                   help="rotated sampler: 2pass | gather (AugmentConfig)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="train seed (trajectory-variance checks)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--checkpoint", default=None,
@@ -92,6 +96,8 @@ def main(argv=None) -> int:
             "--bfloat16", "false" if args.float32 else "true",
             "--flip-prob", str(args.flip_prob),
             "--rotate", str(args.rotate),
+            "--rotate-impl", args.rotate_impl,
+            "--seed", str(args.seed),
             "--in-channels", "20",
         ])
         train_seconds = round(time.time() - t0, 1)
@@ -127,6 +133,8 @@ def main(argv=None) -> int:
             "batch": args.batch,
             "flip_prob": args.flip_prob,
             "rotate": args.rotate,
+            "rotate_impl": args.rotate_impl,
+            "seed": args.seed,
             "train_seconds": train_seconds,
             "checkpoint": ckpt,
             "backend": jax.default_backend(),

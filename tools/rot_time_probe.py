@@ -182,8 +182,19 @@ def main(argv=None) -> int:
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ROT_TIME_PROBE.json")
+    # merge: partial --stages runs update their rows without erasing
+    # the rest of the decomposition
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["stage"]: r for r in json.load(f).get("rows", [])}
+        except (json.JSONDecodeError, KeyError):
+            merged = {}
+    for r in rows:
+        merged[r["stage"]] = r
     with open(out, "w") as f:
-        json.dump({"rows": rows}, f, indent=1)
+        json.dump({"rows": list(merged.values())}, f, indent=1)
     print(f"wrote {out}")
     return 0
 
