@@ -101,6 +101,33 @@ def test_parallel_matches_single_device(batch8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_parallel_rotated_train_step(batch8):
+    """Rotation under shard_map DP: the per-shard preprocess runs the
+    2pass sampler; global batch 16 over 8 devices gives per-shard
+    batch 2, so rotate_chunk=1 exercises the lax.map-staged path INSIDE
+    shard_map while chunk=0 takes the vmap path — both must compose
+    with the collective train step and yield finite loss."""
+    batch16 = {k: np.concatenate([v, v], axis=0) for k, v in batch8.items()}
+    tx = optax.sgd(0.1)
+    for chunk in (0, 1):
+        cfg = _cfg(rotate=25.0, rotate_chunk=chunk, batch_size=16)
+        model_p = Segment(in_channels=20, dtype=jnp.float32,
+                          bn_axis_name="data")
+        variables = model_p.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 17)),
+        )
+        state_p = TrainState.create(variables, tx)
+        mesh, step_p, eval_p, shard_batch = make_parallel_steps(
+            model_p, tx, cfg
+        )
+        state_p, m_p = step_p(
+            state_p, shard_batch(batch16), jax.random.PRNGKey(5)
+        )
+        assert np.isfinite(float(m_p["loss"]))
+
+
 def test_parallel_eval_step(batch8):
     cfg = _cfg()
     tx = optax.adam(cfg.learning_rate)
