@@ -28,6 +28,7 @@ options folded into the same warp parameters.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -504,6 +505,162 @@ def warp_image_rotated_2pass(
 
     # rotation cut (p_rot within the canvas) is exactly separable:
     # py depends only on u, px only on v
+    pyu = a_y * jax.lax.broadcasted_iota(f32, (out_h,), 0) + b_y
+    pxv = a_x * jax.lax.broadcasted_iota(f32, (out_w,), 0) + b_x
+    row_ok = (pyu >= 0) & (pyu < params.canvas_hw[0])
+    col_ok = (pxv >= 0) & (pxv < params.canvas_hw[1])
+    return out * (row_ok[:, None] & col_ok[None, :]).astype(f32)[..., None]
+
+
+def warp_image_rotated_2level(
+    image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int],
+    theta_max: float, scale_x_max: float | None = None,
+    block: int = 16, hat_dtype=jnp.float32,
+) -> jax.Array:
+    """Two-LEVEL form of ``warp_image_rotated_2pass``: same two-pass
+    affine decomposition, but each pass's banded one-hot tensor is
+    generated once per BLOCK of ``block`` rows (columns for pass 2)
+    instead of per row, with the per-row residual offset applied as a
+    bounded fractional shift — a short static unroll of shifted slices
+    with per-row lerp weights, no gather and no dynamic lane shift.
+
+    Motivation (ROOFLINE.md §7): the 2pass sampler's remaining
+    ~475 µs/img is hat *generation* (element count — bf16 hats measured
+    neutral, so not bytes).  The hats here are ``block×`` fewer
+    elements: at 640→480 / block=16, 21.5M vs 344M generated f32
+    elements per sample (16×), and the per-sample transient drops from
+    ~786 MB to ~86 MB.
+
+    The residual trick that keeps the shift band STATIC: within a row
+    block, pass-1 positions differ only by ``δ(r) = tanθ·(r − rc)``
+    SOURCE columns — per-sample scale cancels in ``m10/m00`` — so the
+    band is ``D1 = ceil(tan(theta_max)·(block−1)/2)`` regardless of the
+    crop window (the naive per-row shift in *output* units is unbounded
+    as windows shrink, the dead end recorded in ROOFLINE §7).  Pass 2's
+    residual is ``−sinθ·scale_x·(r − rc)`` source rows, bounded by the
+    static ``scale_x_max`` (callers derive it from canvas/out shapes;
+    default ``(w + 2·SRC_PAD)/out_w``).
+
+    Cost of the trick: the residual is a second linear interpolation
+    (composite kernel hat⊛hat per axis — ≤1 source px of extra
+    smoothing, same class as the classic two-pass row-lerp itself).
+    ``θ=0`` has zero residual and block-constant positions, so it
+    bit-reduces to the 2pass ⇒ separable path.  ``theta_max`` MUST
+    bound the |θ| actually sampled (pipeline passes the static
+    ``cfg.rotate``); like 2pass, invalid past ~60° (divides by m00).
+    """
+    out_h, out_w = out_hw
+    h, w = image.shape[0], image.shape[1]
+    f32 = jnp.float32
+    G = block
+    if scale_x_max is None:
+        scale_x_max = (w + 2 * SRC_PAD) / out_w
+    t_max = abs(float(theta_max))
+    D1 = max(1, int(math.ceil(math.tan(t_max) * (G - 1) / 2.0)))
+    D2 = max(1, int(math.ceil(
+        math.sin(t_max) * float(scale_x_max) * (G - 1) / 2.0
+    )))
+
+    cth, sth = params.cos_sin[0], params.cos_sin[1]
+    a_y, a_x = params.scale[0], params.scale[1]
+    b_y = 0.5 * a_y - 0.5 + params.origin[0]
+    b_x = 0.5 * a_x - 0.5 + params.origin[1]
+    cy, cx = params.center[0], params.center[1]
+    m00, m01 = cth * a_y, -sth * a_x
+    m10, m11 = sth * a_y, cth * a_x
+    ky0 = cy + cth * (b_y - cy) - sth * (b_x - cx) - params.t[0]
+    kx0 = cx + sth * (b_y - cy) + cth * (b_x - cx) - params.t[1]
+    Ax = m11 - m10 * m01 / m00
+    Bx = m10 / m00
+    Cx = kx0 - m10 * ky0 / m00
+
+    # translation-cut content masks applied to the SOURCE image once
+    # (equivalent to the 2pass per-tap lo/hi hat masks: each tmp row
+    # reads one img row, each out column one tmp column — masking
+    # content up front commutes with both passes and keeps the
+    # residual shifts from leaking cut content)
+    col = jax.lax.broadcasted_iota(f32, (1, w, 1), 1)
+    row = jax.lax.broadcasted_iota(f32, (h, 1, 1), 0)
+    mx = (col >= jnp.maximum(0.0, params.src_lo[1])) & (
+        col < jnp.minimum(jnp.float32(w), params.src_hi[1]))
+    my = (row >= jnp.maximum(0.0, params.src_lo[0])) & (
+        row < jnp.minimum(jnp.float32(h), params.src_hi[0]))
+    img = image.astype(f32) * (mx & my).astype(f32)
+
+    def hat_plain(pos, n_in):
+        taps = jax.lax.broadcasted_iota(jnp.int32, (n_in,), 0).astype(f32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - taps))
+
+    def residual_shift(x, delta, D, axis):
+        """lerp-shift rows (axis=1: x[i, j] ≈ x_in[i, j + delta_i]) or
+        columns (axis=0: x[i, j] ≈ x_in[i + delta_j, j]) by a bounded
+        fractional per-index offset — Σ_d hat(δ−d)·shift_d(x), the
+        shifts static slices of a zero-padded buffer (black fill,
+        matching the canvas-edge semantics of every sampler here)."""
+        wgt = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(
+                delta[:, None]
+                - jnp.arange(-D, D + 1, dtype=f32)[None, :]
+            ),
+        )                                          # [len(delta), 2D+1]
+        if axis == 1:   # shift along columns, delta per row
+            pad = jnp.pad(x, ((0, 0), (D, D), (0, 0)))
+            acc = jnp.zeros_like(x)
+            for j, d in enumerate(range(-D, D + 1)):
+                acc = acc + pad[:, D + d: D + d + x.shape[1], :] * (
+                    wgt[:, j][:, None, None]
+                )
+            return acc
+        pad = jnp.pad(x, ((D, D), (0, 0), (0, 0)))  # shift rows, delta per col
+        acc = jnp.zeros_like(x)
+        for j, d in enumerate(range(-D, D + 1)):
+            acc = acc + pad[D + d: D + d + x.shape[0], :, :] * (
+                wgt[:, j][None, :, None]
+            )
+        return acc
+
+    # ---- pass 1 (horizontal): X(y, v) = Ax·v + Bx·y + Cx -----------------
+    hp = -h % G
+    if hp:
+        img = jnp.pad(img, ((0, hp), (0, 0), (0, 0)))
+    hP = h + hp
+    nG1 = hP // G
+    rc = (G - 1) / 2.0
+    r1 = jnp.tile(jnp.arange(G, dtype=f32) - rc, nG1)          # [hP]
+    imgA = residual_shift(img, Bx * r1, D1, axis=1)
+    ycent = jnp.arange(nG1, dtype=f32) * G + rc                # [nG1]
+    vpos = (
+        Ax * jax.lax.broadcasted_iota(f32, (nG1, out_w), 1)
+        + Bx * ycent[:, None] + Cx
+    )
+    k1 = hat_plain(vpos, w).astype(hat_dtype)                  # [nG1, v, w]
+    tmp = jnp.einsum(
+        "grwc,gvw->grvc",
+        imgA.reshape(nG1, G, w, -1).astype(hat_dtype), k1,
+        preferred_element_type=f32,
+    ).reshape(hP, out_w, -1)[:h]                               # [h, v, c]
+
+    # ---- pass 2 (vertical): Y(u, v) = m00·u + m01·v + ky0 ----------------
+    vp = -out_w % G
+    if vp:
+        tmp = jnp.pad(tmp, ((0, 0), (0, vp), (0, 0)))
+    vP = out_w + vp
+    nG2 = vP // G
+    r2 = jnp.tile(jnp.arange(G, dtype=f32) - rc, nG2)          # [vP]
+    tmpA = residual_shift(tmp, m01 * r2, D2, axis=0)
+    vcent = jnp.arange(nG2, dtype=f32) * G + rc                # [nG2]
+    upos = (
+        m00 * jax.lax.broadcasted_iota(f32, (nG2, out_h), 1)
+        + m01 * vcent[:, None] + ky0
+    )
+    k2 = hat_plain(upos, h).astype(hat_dtype)                  # [nG2, u, y]
+    out = jnp.einsum(
+        "ygrc,guy->ugrc",
+        tmpA.reshape(h, nG2, G, -1).astype(hat_dtype), k2,
+        preferred_element_type=f32,
+    ).reshape(out_h, vP, -1)[:, :out_w]
+
     pyu = a_y * jax.lax.broadcasted_iota(f32, (out_h,), 0) + b_y
     pxv = a_x * jax.lax.broadcasted_iota(f32, (out_w,), 0) + b_x
     row_ok = (pyu >= 0) & (pyu < params.canvas_hw[0])
