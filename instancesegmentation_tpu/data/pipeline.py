@@ -86,11 +86,19 @@ class AugmentConfig:
                                    # (ops/warp.warp_image_rotated_2pass,
                                    # measured 6× the gather on chip,
                                    # ROT_GATHER_VARIANTS.json);
+                                   # "2level" = blocked two-level form
+                                   # (warp_image_rotated_2level: hats
+                                   # generated per rotate_block rows +
+                                   # banded residual shift — block×
+                                   # fewer hat elements);
                                    # "gather" = per-pixel 4-tap gather
                                    # (ops/warp.warp_image_rotated,
                                    # bit-matches the one-pass bilinear
-                                   # oracle).  θ=0 both reduce exactly
+                                   # oracle).  θ=0 all reduce exactly
                                    # to the separable fast path.
+    rotate_block: int = 16         # "2level" hat block size (rows per
+                                   # shared hat); larger = fewer hat
+                                   # elements but a wider residual band
     brightness: float = 0.0        # multiplicative range +- (e.g. 0.2)
     contrast: float = 0.0          # linear contrast range +-
     noise_std: float = 0.0         # additive gaussian noise std (0..255)
@@ -199,24 +207,39 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
             scale=jnp.where(flip[:, None], flipped.scale, params.scale),
             origin=jnp.where(flip[:, None], flipped.origin, params.origin),
         )
-        # the two-pass sampler divides by cosθ·scale (degenerate near
+        # the two-pass samplers divide by cosθ·scale (degenerate near
         # 90°, ops/warp.py); max |θ| is the static cfg.rotate, so the
-        # fallback is a trace-time decision
-        use_2pass = cfg.rotate_impl == "2pass" and cfg.rotate < 60.0
-        if use_2pass:
+        # gather fallback is a trace-time decision
+        impl = cfg.rotate_impl
+        if impl not in ("2pass", "2level", "gather"):
+            raise ValueError(f"unknown rotate_impl: {impl!r}")
+        if impl != "gather" and cfg.rotate >= 60.0:
+            impl = "gather"
+        if impl in ("2pass", "2level"):
             from instancesegmentation_tpu.ops.warp import (
+                warp_image_rotated_2level,
                 warp_image_rotated_2pass,
             )
 
+            if impl == "2pass":
+                def _warp_both(both, p):
+                    return warp_image_rotated_2pass(both, p, out_hw)
+            else:
+                def _warp_both(both, p):
+                    return warp_image_rotated_2level(
+                        both, p, out_hw, theta_max_deg=cfg.rotate,
+                        block=cfg.rotate_block,
+                    )
+
             def _warp_pair(img, mask, p):
-                # one shared warp: image+mask concatenated so the two
+                # one shared warp: image+mask concatenated so the
                 # banded one-hot tensors are generated once per sample
-                both = warp_image_rotated_2pass(
+                both = _warp_both(
                     jnp.concatenate(
                         [img.astype(jnp.float32),
                          mask[..., None].astype(jnp.float32)], axis=-1
                     ),
-                    p, out_hw,
+                    p,
                 )
                 return both[..., :3], both[..., 3:]
         else:
@@ -231,8 +254,10 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         # staged execution: lax.map(batch_size=k) scans chunk-vmapped
         # warps so at most k samples' intermediates are live at once.
         # Mandatory for 2pass (its per-sample one-hot tensors are
-        # ~786 MB f32 at 640→480); optional memory bound for gather.
-        chunk = cfg.rotate_chunk or (4 if cfg.rotate_impl == "2pass" else 0)
+        # ~786 MB f32 at 640→480; 2level's are ~block× smaller but the
+        # residual-shift slices still transiently multiply the canvas);
+        # optional memory bound for gather.
+        chunk = cfg.rotate_chunk or {"2pass": 4, "2level": 8}.get(impl, 0)
         if chunk and b > chunk:
             images, masks = jax.lax.map(
                 lambda t3: _warp_pair(*t3),

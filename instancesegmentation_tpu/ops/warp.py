@@ -514,7 +514,7 @@ def warp_image_rotated_2pass(
 
 def warp_image_rotated_2level(
     image: jax.Array, params: RotWarpParams, out_hw: tuple[int, int],
-    theta_max: float, scale_x_max: float | None = None,
+    theta_max_deg: float, scale_x_max: float | None = None,
     block: int = 16, hat_dtype=jnp.float32,
 ) -> jax.Array:
     """Two-LEVEL form of ``warp_image_rotated_2pass``: same two-pass
@@ -529,7 +529,12 @@ def warp_image_rotated_2level(
     neutral, so not bytes).  The hats here are ``block×`` fewer
     elements: at 640→480 / block=16, 21.5M vs 344M generated f32
     elements per sample (16×), and the per-sample transient drops from
-    ~786 MB to ~86 MB.
+    ~786 MB to ~86 MB.  The trick is not free: the residual shifts add
+    ``2·(D1+D2)+2`` full-tensor FMA slices per sample, a term that
+    grows with ``theta_max_deg`` (25° → D1=4, D2=5 at the default
+    shapes; 60° → D1=13) — whether the net wins is a chip measurement
+    (ROT_TIME_PROBE.json, stage ``pre128_2level``), not an element
+    count.
 
     The residual trick that keeps the shift band STATIC: within a row
     block, pass-1 positions differ only by ``δ(r) = tanθ·(r − rc)``
@@ -538,16 +543,30 @@ def warp_image_rotated_2level(
     crop window (the naive per-row shift in *output* units is unbounded
     as windows shrink, the dead end recorded in ROOFLINE §7).  Pass 2's
     residual is ``−sinθ·scale_x·(r − rc)`` source rows, bounded by the
-    static ``scale_x_max`` (callers derive it from canvas/out shapes;
-    default ``(w + 2·SRC_PAD)/out_w``).
+    static ``scale_x_max``.  The default ``(w + 2·SRC_PAD)/out_w``
+    bound requires the caller's crop windows to satisfy
+    ``pad <= SRC_PAD`` (and jitter clamps to ``SRC_PAD−4``, see
+    ``instance_warp_params``); wider windows need an explicit
+    ``scale_x_max``.  Out-of-contract residuals (|θ| > theta_max_deg,
+    or |scale_x| > scale_x_max) are CLIPPED to the band edge —
+    graceful nearest-band degradation instead of silently dropped
+    taps (tests/test_rotation.py band-edge test).
 
     Cost of the trick: the residual is a second linear interpolation
-    (composite kernel hat⊛hat per axis — ≤1 source px of extra
-    smoothing, same class as the classic two-pass row-lerp itself).
+    (composite kernel hat⊛lerp per axis, support 2 px — ≤1 source px
+    of extra smoothing, same class as the classic two-pass row-lerp
+    itself).  Consequence measured in tests/test_rotation.py: on
+    smooth content and solid blob masks the agreement with 2pass is
+    interior-tight (mean <1/255, blob-mask IoU >0.95); on 1-px
+    salt-noise masks — every feature thinner than the composite
+    kernel — binarized IoU erodes to ~0.63.  Human instance masks are
+    blobs, so the real mask operating point is the former; the θ≠0
+    samples this touches are an augmentation, not an eval path.
     ``θ=0`` has zero residual and block-constant positions, so it
-    bit-reduces to the 2pass ⇒ separable path.  ``theta_max`` MUST
-    bound the |θ| actually sampled (pipeline passes the static
-    ``cfg.rotate``); like 2pass, invalid past ~60° (divides by m00).
+    bit-reduces to the 2pass ⇒ separable path.  ``theta_max_deg`` is
+    in DEGREES (the pipeline passes the static ``cfg.rotate``, also
+    degrees) and MUST bound the |θ| actually sampled; like 2pass,
+    invalid past ~60° (divides by m00) — rejected at trace time.
     """
     out_h, out_w = out_hw
     h, w = image.shape[0], image.shape[1]
@@ -555,7 +574,14 @@ def warp_image_rotated_2level(
     G = block
     if scale_x_max is None:
         scale_x_max = (w + 2 * SRC_PAD) / out_w
-    t_max = abs(float(theta_max))
+    t_max_deg = abs(float(theta_max_deg))
+    if not 0.0 < t_max_deg < 60.0:
+        raise ValueError(
+            "theta_max_deg is in DEGREES and must lie in (0, 60): got "
+            f"{theta_max_deg!r} (the two-pass decomposition divides by "
+            "cos(theta); use the gather sampler beyond 60 deg)"
+        )
+    t_max = t_max_deg * math.pi / 180.0
     D1 = max(1, int(math.ceil(math.tan(t_max) * (G - 1) / 2.0)))
     D2 = max(1, int(math.ceil(
         math.sin(t_max) * float(scale_x_max) * (G - 1) / 2.0
@@ -596,11 +622,14 @@ def warp_image_rotated_2level(
         columns (axis=0: x[i, j] ≈ x_in[i + delta_j, j]) by a bounded
         fractional per-index offset — Σ_d hat(δ−d)·shift_d(x), the
         shifts static slices of a zero-padded buffer (black fill,
-        matching the canvas-edge semantics of every sampler here)."""
+        matching the canvas-edge semantics of every sampler here).
+        Deltas outside [-D, D] (a contract violation: |θ| or scale_x
+        past the static bound) clip to the band edge so the output
+        degrades to a nearest-band sample instead of zeroed taps."""
         wgt = jnp.maximum(
             0.0,
             1.0 - jnp.abs(
-                delta[:, None]
+                jnp.clip(delta, -float(D), float(D))[:, None]
                 - jnp.arange(-D, D + 1, dtype=f32)[None, :]
             ),
         )                                          # [len(delta), 2D+1]

@@ -64,8 +64,12 @@ class TrainConfig:
                                    # staged — ROOFLINE.md §6/§7)
     rotate_impl: str = "2pass"     # "2pass" banded-matmul affine
                                    # (measured 6× the gather on chip) |
+                                   # "2level" blocked hats + banded
+                                   # residual shift (block× fewer hat
+                                   # elements; ops/warp.py) |
                                    # "gather" 4-tap per-pixel (bit-
                                    # matches the one-pass oracle)
+    rotate_block: int = 16         # "2level" hat block size
     brightness: float = 0.0
     contrast: float = 0.0
     noise_std: float = 0.0

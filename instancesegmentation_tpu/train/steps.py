@@ -29,6 +29,7 @@ def augment_config(cfg, train: bool) -> AugmentConfig:
         rotate_prob=cfg.rotate_prob,
         rotate_chunk=getattr(cfg, "rotate_chunk", 0),
         rotate_impl=getattr(cfg, "rotate_impl", "2pass"),
+        rotate_block=getattr(cfg, "rotate_block", 16),
         brightness=cfg.brightness if train else 0.0,
         contrast=cfg.contrast if train else 0.0,
         noise_std=cfg.noise_std if train else 0.0,

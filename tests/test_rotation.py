@@ -402,3 +402,246 @@ def test_pipeline_rotate_chunk_matches_full_vmap(chunk):
     ims_c = jax.jit(lambda bt, r: preprocess_batch(bt, r, big))(batch, rng)
     for a, c in zip(ims_a, ims_c):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+# ---------------------------------------------------------------------------
+# two-LEVEL sampler (blocked hats + banded residual shift, ops/warp.py)
+# ---------------------------------------------------------------------------
+
+def _rot_params_pure(deg, h, w):
+    theta = math.radians(deg)
+    hw = jnp.asarray([h, w], jnp.float32)
+    return RotWarpParams(
+        scale=jnp.asarray([1.0, 1.0]),
+        origin=jnp.asarray([0.0, 0.0]),
+        cos_sin=jnp.asarray([math.cos(theta), math.sin(theta)]),
+        center=jnp.asarray([h / 2.0 - 0.5, w / 2.0 - 0.5]),
+        t=jnp.asarray([0.0, 0.0]),
+        src_lo=jnp.asarray([0.0, 0.0]),
+        src_hi=hw,
+        canvas_hw=hw,
+    )
+
+
+def _instance_rot_params(deg, h, w, out, mask, obj_box):
+    hw = jnp.asarray([h, w], jnp.float32)
+    t = center_translation(obj_box, hw)
+    theta = jnp.asarray(math.radians(deg))
+    rbox, rvalid = rotated_mask_box(jnp.asarray(mask), t, theta, hw)
+    return rotated_instance_warp_params(
+        obj_box, rbox, hw, theta, (out, out), 16, rvalid
+    )
+
+
+@pytest.mark.parametrize("deg", [-25.0, 13.0, 40.0])
+def test_2level_rotation_matches_cv2_interior(deg):
+    """The blocked sampler holds the cv2 bound AWAY from the black cut
+    line; on the cut itself its composite kernel (hat⊛hat, ≤1 px extra
+    support) softens the hard step edge, so pointwise error there is
+    O(intensity step) by construction — bounded via the image mean."""
+    import cv2
+
+    from instancesegmentation_tpu.ops.warp import warp_image_rotated_2level
+
+    h, w = 96, 128
+    img = _smooth_image(h, w)
+    host = Affine.rotate(deg, (h, w)).apply_image(img)
+    p = _rot_params_pure(deg, h, w)
+    dev = np.asarray(
+        warp_image_rotated_2level(
+            jnp.asarray(img), p, (h, w), theta_max_deg=abs(deg)
+        )
+    )
+    err = np.abs(dev - host)
+    assert np.mean(err) < 2.5
+    # interior = ≥3 px from any near-black host pixel (the rotation cut)
+    content = (host.max(-1) > 10).astype(np.uint8)
+    interior = cv2.erode(content, np.ones((7, 7), np.uint8)) > 0
+    assert interior.sum() > 0.5 * interior.size
+    assert np.percentile(err.max(-1)[interior], 99) < 6.0
+
+
+def test_2level_zero_angle_bit_matches_2pass():
+    """θ=0: zero residual and block-constant hat positions — the
+    blocked form reduces to the 2pass (⇒ separable) path."""
+    from instancesegmentation_tpu.ops.warp import (
+        warp_image_rotated_2level,
+        warp_image_rotated_2pass,
+    )
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    params = _instance_rot_params(0.0, h, w, out, mask, obj_box)
+    a = np.asarray(warp_image_rotated_2pass(jnp.asarray(img), params, (out, out)))
+    for block in (8, 13, 16):
+        b = np.asarray(
+            warp_image_rotated_2level(
+                jnp.asarray(img), params, (out, out),
+                theta_max_deg=25.0, block=block,
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.parametrize("block", [8, 13, 16])
+def test_2level_matches_2pass_theta_sweep(block):
+    """Full instance params (window scale + translation cut active),
+    θ sweep including ±theta_max and non-divisible block sizes
+    (block=13: h=96→pad 8, out_w=64→pad 1).  Interior mean error vs
+    2pass stays tiny; overall mean bounded (cut-line softening)."""
+    from instancesegmentation_tpu.ops.warp import (
+        warp_image_rotated_2level,
+        warp_image_rotated_2pass,
+    )
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    for deg in (-25.0, -10.0, 17.0, 25.0):
+        params = _instance_rot_params(deg, h, w, out, mask, obj_box)
+        a = np.asarray(
+            warp_image_rotated_2pass(jnp.asarray(img), params, (out, out))
+        )
+        b = np.asarray(
+            warp_image_rotated_2level(
+                jnp.asarray(img), params, (out, out),
+                theta_max_deg=25.0, block=block,
+            )
+        )
+        assert np.all(np.isfinite(b))
+        assert np.mean(np.abs(a - b)) < 1.0
+
+
+def test_2level_flipped_params_match_2pass():
+    """Negative scale_x (flip) stays within the residual band (|a_x| ≤
+    scale_x_max bounds the pass-2 residual magnitude symmetrically)."""
+    from instancesegmentation_tpu.ops.warp import (
+        flip_rot_params_x,
+        warp_image_rotated_2level,
+        warp_image_rotated_2pass,
+    )
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    params = flip_rot_params_x(
+        _instance_rot_params(17.0, h, w, out, mask, obj_box), out
+    )
+    a = np.asarray(warp_image_rotated_2pass(jnp.asarray(img), params, (out, out)))
+    b = np.asarray(
+        warp_image_rotated_2level(
+            jnp.asarray(img), params, (out, out), theta_max_deg=25.0
+        )
+    )
+    assert np.mean(np.abs(a - b)) < 1.0
+
+
+def test_2level_band_edge_clips_gracefully():
+    """|θ| past theta_max_deg violates the contract: the residual delta
+    is CLIPPED to the band edge, so the output degrades to a
+    nearest-band sample — finite and still close in the mean, never
+    zeroed taps / black stripes (ADVICE r4)."""
+    from instancesegmentation_tpu.ops.warp import (
+        warp_image_rotated_2level,
+        warp_image_rotated_2pass,
+    )
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    params = _instance_rot_params(30.0, h, w, out, mask, obj_box)
+    a = np.asarray(warp_image_rotated_2pass(jnp.asarray(img), params, (out, out)))
+    b = np.asarray(
+        warp_image_rotated_2level(
+            jnp.asarray(img), params, (out, out), theta_max_deg=25.0
+        )
+    )
+    assert np.all(np.isfinite(b))
+    assert np.mean(np.abs(a - b)) < 2.5
+    # exactly AT the bound the residual spans the full band and is kept
+    params25 = _instance_rot_params(25.0, h, w, out, mask, obj_box)
+    a25 = np.asarray(
+        warp_image_rotated_2pass(jnp.asarray(img), params25, (out, out))
+    )
+    b25 = np.asarray(
+        warp_image_rotated_2level(
+            jnp.asarray(img), params25, (out, out), theta_max_deg=25.0
+        )
+    )
+    assert np.mean(np.abs(a25 - b25)) < 1.0
+
+
+def test_2level_theta_max_unit_guard():
+    """theta_max_deg is DEGREES: 0, negative-zero-span and ≥60 values
+    are rejected at trace time (a radians-valued 25° ≈ 0.436 cannot be
+    detected, but the ≥60 guard catches the common scale errors)."""
+    from instancesegmentation_tpu.ops.warp import warp_image_rotated_2level
+
+    h, w, out = 96, 128, 64
+    img = _smooth_image(h, w)
+    mask = _mask(h, w)
+    obj_box = jnp.asarray([38.0, 28.0, 92.0, 72.0])
+    params = _instance_rot_params(17.0, h, w, out, mask, obj_box)
+    for bad in (0.0, 60.0, 90.0):
+        with pytest.raises(ValueError, match="DEGREES"):
+            warp_image_rotated_2level(
+                jnp.asarray(img), params, (out, out), theta_max_deg=bad
+            )
+
+
+def test_pipeline_rotate_impl_2level_agrees():
+    """preprocess_batch with rotate_impl='2level' matches '2pass' on a
+    blob-mask batch, and the staged lax.map path is bit-identical to
+    the full vmap.  The image bound is looser than the 2pass-vs-gather
+    one (0.1 vs 0.02 in [-1,1] units): the blocked sampler's composite
+    kernel (hat⊛lerp per axis, support 2 px) smooths the synthetic
+    batch's noise texture more than plain bilinear.  GEOMETRY must
+    agree: binarized-mask IoU on solid blobs (the real mask operating
+    point — perimeter-only softening) must stay high.  The default
+    salt-noise synthetic masks are the adversarial case (every feature
+    is 1 px wide) and erode to ~0.63 IoU — that regime does not occur
+    for human instance masks and is documented in ops/warp.py."""
+    from instancesegmentation_tpu.data.pipeline import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    batch = dict(_tiny_batch(b=4))
+    # solid-ellipse masks at each sample's mask_box (realistic blobs)
+    masks = np.zeros((4, 96, 96), np.uint8)
+    import cv2
+
+    for i in range(4):
+        x0, y0, x1, y1 = [int(v) for v in np.asarray(batch["mask_box"][i])]
+        cv2.ellipse(
+            masks[i], ((x0 + x1) // 2, (y0 + y1) // 2),
+            ((x1 - x0) // 2, (y1 - y0) // 2), 0, 0, 360, 255, -1,
+        )
+    batch["mask"] = jnp.asarray(masks)
+    rng = jax.random.PRNGKey(11)
+    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0)
+    lvl = dataclasses.replace(two, rotate_impl="2level")
+    im_a, hm_a, mk_a = preprocess_batch(batch, rng, two)
+    im_b, hm_b, mk_b = preprocess_batch(batch, rng, lvl)
+    assert float(jnp.mean(jnp.abs(im_a - im_b))) < 0.1
+    assert float(jnp.mean(jnp.abs(mk_a - mk_b))) < 0.02
+    a = np.asarray(mk_a) > 0.5
+    b = np.asarray(mk_b) > 0.5
+    iou = (a & b).sum() / max(1, (a | b).sum())
+    assert iou > 0.95
+    np.testing.assert_array_equal(np.asarray(hm_a), np.asarray(hm_b))
+
+    staged = dataclasses.replace(lvl, rotate_chunk=2)
+    im_c, hm_c, mk_c = jax.jit(
+        lambda bt, r: preprocess_batch(bt, r, staged)
+    )(batch, rng)
+    im_j, hm_j, mk_j = jax.jit(
+        lambda bt, r: preprocess_batch(bt, r, lvl)
+    )(batch, rng)
+    np.testing.assert_array_equal(np.asarray(im_c), np.asarray(im_j))
+    np.testing.assert_array_equal(np.asarray(mk_c), np.asarray(mk_j))

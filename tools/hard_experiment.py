@@ -48,7 +48,8 @@ def main(argv=None) -> int:
     p.add_argument("--flip-prob", type=float, default=0.5)
     p.add_argument("--rotate", type=float, default=0.0)
     p.add_argument("--rotate-impl", default="2pass",
-                   help="rotated sampler: 2pass | gather (AugmentConfig)")
+                   help="rotated sampler: 2pass | 2level | gather "
+                        "(AugmentConfig.rotate_impl)")
     p.add_argument("--seed", type=int, default=0,
                    help="train seed (trajectory-variance checks)")
     p.add_argument("--cpu", action="store_true")

@@ -100,7 +100,9 @@ def build_infer(batch_size: int, size: int = SIZE, fused: bool = False):
 
 def build_train(batch_size: int, size: int = 480, canvas: int = 640,
                 remat: bool = False, fused_head: bool = False,
-                rotate: float = 0.0, rotate_chunk: int | None = None):
+                rotate: float = 0.0, rotate_chunk: int | None = None,
+                rotate_impl: str | None = None,
+                rotate_block: int | None = None):
     """Full training step: fused device preprocess (crop-warp + 17-ch
     heatmap render) + conditioned fwd/bwd + Adam update, single chip —
     exactly the program Trainer dispatches per step (train/steps.py).
@@ -125,6 +127,8 @@ def build_train(batch_size: int, size: int = 480, canvas: int = 640,
         remat=remat,
         fused_head=fused_head,
         **({} if rotate_chunk is None else {"rotate_chunk": rotate_chunk}),
+        **({} if rotate_impl is None else {"rotate_impl": rotate_impl}),
+        **({} if rotate_block is None else {"rotate_block": rotate_block}),
     )
     model = Segment(in_channels=20, dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -218,13 +222,26 @@ def build_instance(batch_size: int, size: int = 480, canvas: int = 640):
 
 
 def analyze(
-    batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer"
+    batch_size: int, size: int = SIZE, trials: int = 3, mode: str = "infer",
+    chain: int = 1, rotate_impl: str | None = None,
+    rotate_block: int | None = None, rotate_chunk: int | None = None,
 ) -> dict:
+    """``chain`` > 1 times ``chain`` back-to-back dispatches of the
+    ITERS-iteration device loop, each value-forced — long-horizon
+    steady state as host-chained SHORT loops.  This is the harness for
+    train_rot at 30-iteration equivalents: one 30-iteration fori_loop
+    of the rotated batch-128 step faults the axon worker
+    (ROT_CRASH_PROBE.json) while 5-10 iteration loops run clean, so
+    ``--iters 5 --chain 6`` measures the same horizon safely (the
+    inter-dispatch readback costs one RTT per link, amortized over
+    multi-second loops)."""
     if mode in ("train", "train_remat", "train_fused", "train_rot"):
         single, bench_loop, args = build_train(
             batch_size, size, remat=(mode == "train_remat"),
             fused_head=(mode == "train_fused"),
             rotate=(25.0 if mode == "train_rot" else 0.0),
+            rotate_impl=rotate_impl, rotate_block=rotate_block,
+            rotate_chunk=rotate_chunk,
         )
     elif mode == "instance":
         single, bench_loop, args = build_instance(batch_size, size)
@@ -245,11 +262,12 @@ def analyze(
     best = np.inf
     for _ in range(trials):
         t0 = time.perf_counter()
-        checksum = float(bench_loop(*args))
+        for _c in range(chain):
+            checksum = float(bench_loop(*args))
+            assert np.isfinite(checksum)
         best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(checksum)
 
-    ips = batch_size * ITERS / best
+    ips = batch_size * ITERS * chain / best
     flops_img = flops / batch_size
     bytes_img = bytes_acc / batch_size
     compute_ceiling = PEAK_BF16_FLOPS / flops_img
@@ -258,6 +276,9 @@ def analyze(
     return {
         "mode": mode,
         "batch": batch_size,
+        "chain": chain,
+        **({} if rotate_impl is None else {"rotate_impl": rotate_impl}),
+        **({} if rotate_block is None else {"rotate_block": rotate_block}),
         "img_per_sec": round(ips, 1),
         "gflop_per_img": round(flops_img / 1e9, 3),
         "mb_per_img": round(bytes_img / 1e6, 2),
@@ -300,7 +321,27 @@ def main() -> None:
         help="fori_loop iterations per timing (default 30).  train_rot "
         "needs <=~10: the axon worker faults on long loop compositions "
         "of the rotated batch-128 step (ROOFLINE.md §6) while 5-10 "
-        "iteration loops and the real single-step dispatch run clean",
+        "iteration loops and the real single-step dispatch run clean — "
+        "use --iters 5 --chain 6 for a safe 30-iteration equivalent",
+    )
+    p.add_argument(
+        "--chain", type=int, default=1,
+        help="host-chain N back-to-back dispatches of the device loop "
+        "per timing (value-forced between links); long-horizon steady "
+        "state without long single-program loops",
+    )
+    p.add_argument(
+        "--rotate-impl", type=str, default=None,
+        choices=["2pass", "2level", "gather"],
+        help="train_rot only: override AugmentConfig.rotate_impl",
+    )
+    p.add_argument(
+        "--rotate-block", type=int, default=None,
+        help="train_rot + 2level only: hat block size",
+    )
+    p.add_argument(
+        "--rotate-chunk", type=int, default=None,
+        help="train_rot only: lax.map staging chunk",
     )
     args = p.parse_args()
     if args.iters:
@@ -314,7 +355,11 @@ def main() -> None:
 
     rows = []
     for b in args.batches:
-        r = analyze(b, args.size, args.trials, args.mode)
+        r = analyze(
+            b, args.size, args.trials, args.mode, chain=args.chain,
+            rotate_impl=args.rotate_impl, rotate_block=args.rotate_block,
+            rotate_chunk=args.rotate_chunk,
+        )
         rows.append(r)
         print(json.dumps(r), flush=True)
 

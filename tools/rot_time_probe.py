@@ -12,6 +12,11 @@ fori_loop, single value-forced readback) to locate the time:
   pre128       full preprocess_batch with rotate=25 (everything above
                + params + heatmap render + photometric)
   prenorot128  preprocess_batch with rotate=0 (the separable fast path)
+  pre128_2level   full preprocess_batch, rotate=25, rotate_impl=2level
+                  (blocked hats + banded residual shift; r5)
+  pre128_2level_bN  same with rotate_block=N (pass --stages
+                  pre128_2level_b8 / _b32 to sweep the block size)
+  warp128_2level  the 2level image warp alone (vs warp128's gather)
 
 Writes ROT_TIME_PROBE.json.  Usage: python tools/rot_time_probe.py
 [--iters 5 --trials 2 --batch 128]
@@ -148,11 +153,45 @@ def main(argv=None) -> int:
             "maskbox128", loop(step_b), batch["mask"].astype(jnp.float32)
         ))
 
-    for name, rot in (("pre128", 25.0), ("prenorot128", 0.0)):
+    if "warp128_2level" in stages:
+        from instancesegmentation_tpu.ops.warp import (
+            warp_image_rotated_2level,
+        )
+
+        def step_2l(img_f):
+            def one(img, th):
+                return jnp.sum(warp_image_rotated_2level(
+                    img, rot_params(th), (OUT, OUT), theta_max_deg=25.0
+                ))
+            # staged like the pipeline (chunk=8): bounds the live hats
+            return jnp.sum(jax.lax.map(
+                lambda t2: one(*t2), (img_f, thetas), batch_size=8
+            ))
+
+        rows.append(timed(
+            "warp128_2level", loop(step_2l), batch["image"].astype(jnp.float32)
+        ))
+
+    pre_stages = [("pre128", 25.0, None, None), ("prenorot128", 0.0, None, None)]
+    for s in stages:
+        if s == "pre128_2level":
+            pre_stages.append((s, 25.0, "2level", None))
+        elif s.startswith("pre128_2level_b"):
+            pre_stages.append((s, 25.0, "2level", int(s.rsplit("_b", 1)[1])))
+        elif s.startswith("pre128_c"):  # 2pass chunk sweep: pre128_c8
+            pre_stages.append((s, 25.0, "2pass", -int(s.rsplit("_c", 1)[1])))
+    for name, rot, impl, blk in pre_stages:
         if name not in stages:
             continue
+        extra = {}
+        if impl:
+            extra["rotate_impl"] = impl
+        if blk is not None and blk > 0:
+            extra["rotate_block"] = blk
+        if blk is not None and blk < 0:
+            extra["rotate_chunk"] = -blk
         aug = AugmentConfig(out_size=(OUT, OUT), rotate=rot,
-                            flip_prob=0.5, jitter=0.1)
+                            flip_prob=0.5, jitter=0.1, **extra)
 
         def step_p(img_u8, aug=aug):
             bt = dict(batch, image=img_u8)
