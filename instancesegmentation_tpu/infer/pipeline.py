@@ -106,13 +106,20 @@ def predict_masks_batched(
 
 
 def build_instance_forward(model, in_channels: int, size: int, dtype, head,
-                           stem_fold=None):
+                           stem_fold=None, variables=None):
     """Jitted fused instance program, shared by the single-chip and DP
     engines: warp params, crop-warp, heatmap render, truncated backbone
     + folded head, sigmoid, and the inverse warp back to the canvas
     frame — ONE XLA program.  ``head`` is a FoldedHead
-    (models/fused_head.fold_head) matching the weights that will be
-    passed as ``variables``.
+    (models/fused_head.fold_head) matching ``variables``.
+
+    ``variables`` is CLOSED over the jitted programs rather than passed
+    per call: the engines rebuild programs on every weight assignment
+    anyway, and closure lets XLA treat the weights as constants — in
+    particular the identity BN affines left by
+    models/export.fold_batchnorm inline as literals and constant-fold
+    away (measured +4.2% serving, FOLD_BN_PROBE.json); runtime
+    arguments would keep the multiply/add ops alive.
 
     ``stem_fold`` (a models/fused_stem_hm.FoldedStemHM, conditioned
     checkpoints only) replaces the dense [S,S,17] heatmap render +
@@ -123,14 +130,14 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head,
     """
     from instancesegmentation_tpu.models.fused_head import head_apply
 
-    def _apply_model(variables, x, hm=None):
+    def _apply_model(x, hm=None):
         """Backbone + algebraically folded section-6 head
         (models/fused_head.py): same f32-logit math as ``model.apply``,
         minus the [4H,4W,4] HBM intermediate."""
         feats = model.apply(variables, x, hm, train=False, truncate_head=True)
         return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
 
-    def _apply_model_folded(variables, x, pts, vis):
+    def _apply_model_folded(x, pts, vis):
         """Conditioned forward with the patch-folded stem: no dense
         heatmap stack ever touches HBM."""
         from instancesegmentation_tpu.models.fused_stem_hm import stem_hm_apply
@@ -142,7 +149,7 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head,
         return head_apply(feats, head, dtype=dtype).astype(jnp.float32)
 
     @jax.jit
-    def _forward_instance(variables, canvas_u8, batch_mask, image_hw,
+    def _forward_instance(canvas_u8, batch_mask, image_hw,
                           obj_box, mask_box, mask_valid, keypoints):
         from instancesegmentation_tpu.ops.heatmap import render_heatmaps
         from instancesegmentation_tpu.ops.warp import (
@@ -186,14 +193,14 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head,
             )(kps[..., :2], params.scale, params.offset)
             vis = kps[..., 2] > 0.5
             if stem_fold is not None:
-                logits = _apply_model_folded(variables, x, pts, vis)
+                logits = _apply_model_folded(x, pts, vis)
             else:
                 hm = jax.vmap(
                     lambda p, v: render_heatmaps(p, v, out_hw)
                 )(pts, vis).astype(dtype)
-                logits = _apply_model(variables, x, hm)
+                logits = _apply_model(x, hm)
         else:
-            logits = _apply_model(variables, x, None)
+            logits = _apply_model(x, None)
         probs = jax.nn.sigmoid(logits)
         # inverse warp back into the canvas frame
         inv_scale = 1.0 / params.scale
@@ -207,7 +214,7 @@ def build_instance_forward(model, in_channels: int, size: int, dtype, head,
     return _apply_model, _forward_instance
 
 
-def run_instance_batch(forward_instance, variables, batch: dict,
+def run_instance_batch(forward_instance, batch: dict,
                        threshold: float, bucket_size, min_bucket: int = 1,
                        put=None):
     """Shared pad/bucket/chunk dispatch wrapper around a fused instance
@@ -234,7 +241,7 @@ def run_instance_batch(forward_instance, variables, batch: dict,
                 k: np.asarray(v)[start:start + cap] for k, v in batch.items()
             }
             p, m = run_instance_batch(
-                forward_instance, variables, chunk, threshold,
+                forward_instance, chunk, threshold,
                 bucket_size, min_bucket, put,
             )
             probs_parts.append(p)
@@ -256,7 +263,7 @@ def run_instance_batch(forward_instance, variables, batch: dict,
     ]
     if put is not None:
         arrays = put(arrays)
-    probs, back = forward_instance(variables, *arrays)
+    probs, back = forward_instance(*arrays)
     canvas_masks = (np.asarray(back[..., 0]) > threshold).astype(np.uint8) * 255
     return np.asarray(probs)[:b], canvas_masks[:b]
 
@@ -274,6 +281,7 @@ class InferenceEngine:
         fused_stem: bool = False,
         quant: Optional[dict] = None,
         quant_mode: str = "int8_mxu",
+        fold_bn: bool = True,
     ):
         """``quant``: a calibrated ``quant`` collection
         (models/quantize.calibrate) switches the backbone convs to the
@@ -299,6 +307,7 @@ class InferenceEngine:
         # program-build time
         self._fused_stem = fused_stem and in_channels == 20
         self._quant = quant
+        self._fold_bn = fold_bn
         self.variables = variables  # property: folds head + builds programs
 
     @property
@@ -310,7 +319,20 @@ class InferenceEngine:
         """Assigning weights (re)folds the head and rebuilds the jitted
         programs, so the closed-over FoldedHead constants can never go
         stale against the backbone weights (new programs pay a fresh
-        compile on first use — correct for new weights either way)."""
+        compile on first use — correct for new weights either way).
+
+        ``fold_bn`` (default on): every BN affine is algebraically
+        folded into its conv (models/export.fold_batchnorm) and the
+        identity leftovers constant-fold out of the compiled program —
+        measured +4.2% on the 512² batch-128 serving program with a
+        bit-identical checksum (FOLD_BN_PROBE.json).  Value-preserving,
+        so the int8 calibration (per-conv INPUT scales) stays valid."""
+        if self._fold_bn and variables.get("batch_stats"):
+            from instancesegmentation_tpu.models.export import fold_batchnorm
+
+            variables = fold_batchnorm(
+                {k: v for k, v in variables.items() if k != "quant"}
+            )
         if self._quant is not None:
             variables = {**variables, "quant": self._quant}
         self._variables = variables
@@ -333,11 +355,11 @@ class InferenceEngine:
             stem_fold = fold_stem_hm(self._variables)
         _apply_model, _forward_instance = build_instance_forward(
             self.model, self.in_channels, self.size, dtype, head,
-            stem_fold=stem_fold,
+            stem_fold=stem_fold, variables=self._variables,
         )
 
         @jax.jit
-        def _forward_whole(variables, images_u8):
+        def _forward_whole(images_u8):
             # normalize in the compute dtype (bf16 serving): u8 values
             # are exact in bf16, so this only re-rounds the affine
             x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
@@ -347,9 +369,9 @@ class InferenceEngine:
                 # when no keypoint is visible), so a conditioned
                 # checkpoint still serves plain images
                 hm = jnp.zeros(x.shape[:3] + (self.in_channels - 3,), x.dtype)
-                logits = _apply_model(variables, x, hm)
+                logits = _apply_model(x, hm)
             else:
-                logits = _apply_model(variables, x)
+                logits = _apply_model(x)
             return jax.nn.sigmoid(logits)
 
         self._forward_whole = _forward_whole
@@ -360,7 +382,7 @@ class InferenceEngine:
         """Whole-image mode: list of RGB uint8 -> list of uint8 masks at
         original resolutions."""
         return predict_masks_batched(
-            lambda b: self._forward_whole(self.variables, jnp.asarray(b)),
+            lambda b: self._forward_whole(jnp.asarray(b)),
             images, self.size, self.threshold,
         )
 
@@ -383,6 +405,6 @@ class InferenceEngine:
         Padding/bucketing/chunking semantics: see run_instance_batch.
         """
         return run_instance_batch(
-            self._forward_instance, self.variables, batch, self.threshold,
+            self._forward_instance, batch, self.threshold,
             self._bucket_size,
         )

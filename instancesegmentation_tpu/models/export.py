@@ -2,10 +2,13 @@
 
 TPU equivalent of the reference's ``fuseforward`` path (ref
 model/segment.py:47-48: skip BN at inference after folding it into the
-conv).  On TPU, XLA already fuses the inference-mode BN affine into the
-convolution epilogue, so this is a numerical no-op for speed — it exists
-for export parity (serving a checkpoint without batch_stats) and to
-validate the BN algebra.
+conv).  Measured r5 (FOLD_BN_PROBE.json): serving the folded weights is
+**+4.2%** on the 512² batch-128 program at a bit-identical checksum —
+XLA does NOT fully absorb a runtime-parameter BN affine into the conv
+epilogue; the fold pays when the identity leftovers are closed over the
+jit as constants (they inline as literals and constant-fold away:
+229→96 HLO multiplies).  `infer.pipeline.InferenceEngine` serves the
+folded form by default (`fold_bn=True`); bench.py matches.
 
 Folding: ``w' = w * g / sqrt(v + eps)``, ``b' = beta + (b - m) * g /
 sqrt(v + eps)`` applied to every conv followed by a BN; the BN is then

@@ -92,17 +92,17 @@ class ParallelInferenceEngine:
             stem_fold = fold_stem_hm(self._variables)
         apply_model, self._forward_instance = build_instance_forward(
             self.model, in_channels, self.size, dtype, head,
-            stem_fold=stem_fold,
+            stem_fold=stem_fold, variables=self._variables,
         )
 
         @jax.jit
-        def forward(variables, images_u8):
+        def forward(images_u8):
             x = images_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
             if in_channels > 3:
                 hm = jnp.zeros(x.shape[:3] + (in_channels - 3,), x.dtype)
-                logits = apply_model(variables, x, hm)
+                logits = apply_model(x, hm)
             else:
-                logits = apply_model(variables, x)
+                logits = apply_model(x)
             return jax.nn.sigmoid(logits)
 
         self._forward = forward
@@ -125,7 +125,7 @@ class ParallelInferenceEngine:
                 [images_u8, np.zeros((pad,) + images_u8.shape[1:], images_u8.dtype)]
             )
         images = jax.device_put(jnp.asarray(images_u8), self._batch_sharding)
-        probs = self._forward(self.variables, images)
+        probs = self._forward(images)
         return probs[:b] if pad else probs
 
     def predict_instances(self, batch: dict):
@@ -147,7 +147,7 @@ class ParallelInferenceEngine:
             ]
 
         return run_instance_batch(
-            self._forward_instance, self.variables, batch, self.threshold,
+            self._forward_instance, batch, self.threshold,
             InferenceEngine._bucket_size, min_bucket=self.n, put=put,
         )
 

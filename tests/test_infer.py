@@ -302,11 +302,11 @@ def test_variables_reassignment_refolds_head():
     img = np.random.default_rng(3).integers(
         0, 255, size=(1, SIZE, SIZE, 3), dtype=np.uint8
     )
-    out_a = np.asarray(engine._forward_whole(engine.variables, jnp.asarray(img)))
+    out_a = np.asarray(engine._forward_whole(jnp.asarray(img)))
     engine.variables = vb
-    out_b = np.asarray(engine._forward_whole(engine.variables, jnp.asarray(img)))
+    out_b = np.asarray(engine._forward_whole(jnp.asarray(img)))
     ref_b = np.asarray(
-        fresh_b._forward_whole(fresh_b.variables, jnp.asarray(img))
+        fresh_b._forward_whole(jnp.asarray(img))
     )
     assert not np.allclose(out_a, out_b)
     np.testing.assert_allclose(out_b, ref_b, atol=1e-6)
@@ -353,7 +353,7 @@ def test_predict_instances_chunks_at_max_bucket(synth):
 
     seen = []
 
-    def fake_forward(variables, image, mask, image_hw, obj_box, mask_box,
+    def fake_forward(image, mask, image_hw, obj_box, mask_box,
                      mask_valid, keypoints):
         b = image.shape[0]
         seen.append(b)
@@ -432,3 +432,34 @@ def test_iter_segment_proposals_cross_image_batching(synth):
         assert a["box"] == b["box"]
         np.testing.assert_array_equal(a["mask"], b["mask"])
         assert a["mask_score"] == pytest.approx(b["mask_score"])
+
+
+def test_engine_fold_bn_matches_unfolded():
+    """fold_bn (default on since r5): the engine serves BN-folded
+    weights (models/export.fold_batchnorm, +4.2% on chip at
+    bit-identical checksum — FOLD_BN_PROBE.json); outputs must match
+    the unfolded engine to float rounding.  Batch stats are perturbed
+    first so the fold is non-trivial."""
+    from instancesegmentation_tpu.models.segment import Segment
+
+    model = Segment(in_channels=3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, SIZE, SIZE, 3))
+    _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = {
+        "params": variables["params"],
+        "batch_stats": updates["batch_stats"],
+    }
+
+    folded = InferenceEngine(
+        variables, in_channels=3, size=SIZE, dtype=jnp.float32
+    )
+    plain = InferenceEngine(
+        variables, in_channels=3, size=SIZE, dtype=jnp.float32, fold_bn=False
+    )
+    img = np.random.default_rng(5).integers(
+        0, 255, size=(2, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    out_f = np.asarray(folded._forward_whole(jnp.asarray(img)))
+    out_p = np.asarray(plain._forward_whole(jnp.asarray(img)))
+    np.testing.assert_allclose(out_f, out_p, atol=2e-3, rtol=1e-4)

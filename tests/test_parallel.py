@@ -169,7 +169,7 @@ def test_parallel_inference_engine():
     probs = np.asarray(par(images))
     assert probs.shape == (8, 64, 64, 1)
     # matches the single-device fused forward
-    ref = np.asarray(single._forward_whole(variables, jnp.asarray(images)))
+    ref = np.asarray(single._forward_whole(jnp.asarray(images)))
     np.testing.assert_allclose(probs, ref, atol=5e-4)
     # non-divisible batches are zero-padded to the mesh size and the
     # padding sliced off (serving ergonomics, VERDICT r1 weak#6)

@@ -319,10 +319,11 @@ def main() -> None:
     p.add_argument(
         "--iters", type=int, default=None,
         help="fori_loop iterations per timing (default 30).  train_rot "
-        "needs <=~10: the axon worker faults on long loop compositions "
-        "of the rotated batch-128 step (ROOFLINE.md §6) while 5-10 "
-        "iteration loops and the real single-step dispatch run clean — "
-        "use --iters 5 --chain 6 for a safe 30-iteration equivalent",
+        "with rotate_impl=2pass needs <=15: the axon worker faults on "
+        "long loop compositions of the rotated batch-128 step "
+        "(ROT_CRASH_PROBE.json: 15 passes, 20 faults) — use --iters 5 "
+        "--chain 6 for a safe 30-iteration equivalent.  The 2level "
+        "sampler runs the full 30-iteration loop clean.",
     )
     p.add_argument(
         "--chain", type=int, default=1,

@@ -149,22 +149,35 @@ def _run_stage(stage: str) -> int:
 
         checksum = float(run(batch))
     elif stage.startswith("train") or stage.startswith("one"):
-        # trainNN[s]: the roofline bench program (30-iter fori_loop of
-        # the step, state threaded/donated).  oneNN[s]: ONE dispatched
-        # train step — what Trainer actually runs per step — to separate
-        # a real train-step fault from a loop-composition artifact.
-        # 's' suffix = lax.map-staged rotated warp (rotate_chunk=32).
+        # trainNN[s|L][_iK]: the roofline bench program (fori_loop of
+        # the step, state threaded/donated; K iterations, default 30).
+        # oneNN[s|L]: ONE dispatched train step — what Trainer actually
+        # runs per step — to separate a real train-step fault from a
+        # loop-composition artifact.  's' suffix = lax.map-staged
+        # rotated warp (rotate_chunk=32); 'L' = the r5 2level sampler
+        # (rotate_impl="2level").  '_iK' narrows the 5-passes/30-faults
+        # threshold (VERDICT r4 next#4): e.g. train128_i10 train128_i20.
         prefix = "train" if stage.startswith("train") else "one"
         spec = stage[len(prefix):]
+        iters = None
+        if "_i" in spec:
+            spec, it = spec.split("_i", 1)
+            iters = int(it)
         staged = spec.endswith("s")
-        b = int(spec.rstrip("s"))
+        spec = spec.rstrip("s")
+        two_level = spec.endswith("L")
+        b = int(spec.rstrip("L"))
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         sys.argv = ["rot_crash_probe"]
+        import tools.roofline as roofline
         from tools.roofline import build_train
 
+        if iters is not None:
+            roofline.ITERS = iters
         single, bench_loop, args_ = build_train(
-            b, OUT, rotate=25.0, rotate_chunk=(32 if staged else 0)
+            b, OUT, rotate=25.0, rotate_chunk=(32 if staged else 0),
+            rotate_impl=("2level" if two_level else None),
         )
         if prefix == "one":
             state, batch, rng = args_
@@ -199,12 +212,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--stage", default=None)
     p.add_argument("--timeout", type=int, default=900)
+    p.add_argument("--stages", nargs="+", default=None,
+                   help="parent mode: run only these stages (each in "
+                        "its own child process); results MERGE into "
+                        "ROT_CRASH_PROBE.json by stage name")
     args = p.parse_args(argv)
     if args.stage:
         return _run_stage(args.stage)
 
     rows = []
-    for stage in STAGES:
+    for stage in (args.stages or STAGES):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", stage],
@@ -225,9 +242,19 @@ def main(argv=None) -> int:
         print(json.dumps(rows[-1]), flush=True)
         if not rows[-1].get("ok"):
             time.sleep(60)  # give the worker time to restart
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "ROT_CRASH_PROBE.json"), "w") as f:
-        json.dump({"rows": rows}, f, indent=1)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ROT_CRASH_PROBE.json")
+    merged = {}
+    if args.stages and os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["stage"]: r for r in json.load(f)["rows"]}
+        except (json.JSONDecodeError, KeyError):
+            merged = {}
+    for r in rows:
+        merged[r["stage"]] = r
+    with open(out, "w") as f:
+        json.dump({"rows": list(merged.values())}, f, indent=1)
     return 0
 
 

@@ -81,10 +81,23 @@ def main(argv=None) -> int:
                              "cached": True})
                 print(f"[sweep] reuse {run_out}", flush=True)
                 continue
+            # fresh per-run workdir (checkpoints/runs) sharing the ONE
+            # dataset via symlinks: the trainer's continue_train=True
+            # would otherwise resume the previous run's checkpoint and
+            # contaminate every seed after the first (caught live: two
+            # "seeds" returned bit-identical AP)
+            run_dir = os.path.join(workdir, f"run_{arm}_s{seed}")
+            os.makedirs(run_dir, exist_ok=True)
+            for split in ("train", "val"):
+                src = os.path.join(workdir, split)
+                dst = os.path.join(run_dir, split)
+                os.makedirs(src, exist_ok=True)
+                if not os.path.exists(dst):
+                    os.symlink(src, dst)
             t0 = time.time()
             hard_main([
                 "--cpu",
-                "--workdir", workdir,
+                "--workdir", run_dir,
                 "--out", run_out,
                 "--train-images", str(args.train_images),
                 "--val-images", str(args.val_images),
