@@ -256,8 +256,11 @@ def preprocess_batch(batch: dict, rng: jax.Array, cfg: AugmentConfig):
         # Mandatory for 2pass (its per-sample one-hot tensors are
         # ~786 MB f32 at 640→480; 2level's are ~block× smaller but the
         # residual-shift slices still transiently multiply the canvas);
-        # optional memory bound for gather.
-        chunk = cfg.rotate_chunk or {"2pass": 4, "2level": 8}.get(impl, 0)
+        # optional memory bound for gather.  chunk 4 for both matmul
+        # impls per chip measurement: 2level unstaged at batch 8 ran
+        # 149 img/s vs 304 staged, and chunk 4 ≥ chunk 8 at batch 128
+        # (1,842 vs 1,829 img/s — ROOFLINE.md §Round-5).
+        chunk = cfg.rotate_chunk or {"2pass": 4, "2level": 4}.get(impl, 0)
         if chunk and b > chunk:
             images, masks = jax.lax.map(
                 lambda t3: _warp_pair(*t3),
