@@ -129,7 +129,12 @@ def warp_2level_pallas(img_cm, coefs, out_hw, theta_max_deg, block=G,
                 preferred_element_type=f32,
             ).astype(mid)                                # [block, out_w]
 
-    def pass2_kernel(coef_ref, tmp_ref, out_ref, scratch):
+    def pass2_kernel(coef_ref, tmpt_ref, out_ref, scratch):
+        # Transposed orientation (v in sublanes, y/u in lanes): Mosaic
+        # requires the LANE dim of every block to be 128-divisible or
+        # the full array dim, so the 16-wide v block must live in
+        # sublanes.  Structurally a clone of pass1 (same proven static
+        # lane-slice scratch pattern).
         b = pl.program_id(0)
         g = pl.program_id(1)
         m00, m01, ky0 = coef_ref[b, 5], coef_ref[b, 6], coef_ref[b, 7]
@@ -138,34 +143,34 @@ def warp_2level_pallas(img_cm, coefs, out_hw, theta_max_deg, block=G,
         a_y, b_y = coef_ref[b, 10], coef_ref[b, 11]
         a_x, b_x = coef_ref[b, 12], coef_ref[b, 13]
         vcent = g.astype(f32) * block + rc
-        # hat tile [out_h, h]
-        uu = iota2((out_h, h), 0)
-        tap = iota2((out_h, h), 1)
+        # hat tile TRANSPOSED [h, out_h]: tap rows (y), output cols (u)
+        tap = iota2((h, out_h), 0)
+        uu = iota2((h, out_h), 1)
         pos = m00 * uu + (m01 * vcent + ky0)
-        k2 = jnp.maximum(0.0, 1.0 - jnp.abs(pos - tap))
-        k2 = k2 * ((tap >= loy) & (tap < hiy)).astype(f32)
-        # rotation cut: rows via a_y (depends on u), cols via a_x (v)
-        pyu = a_y * iota2((out_h, block), 0) + b_y
-        vva = iota2((out_h, block), 1) + vcent - rc
+        k2t = jnp.maximum(0.0, 1.0 - jnp.abs(pos - tap))
+        k2t = k2t * ((tap >= loy) & (tap < hiy)).astype(f32)
+        # rotation cut [block, out_h]: rows via a_x (v), cols via a_y (u)
+        vva = iota2((block, out_h), 0) + vcent - rc
         pxv = a_x * vva + b_x
+        pyu = a_y * iota2((block, out_h), 1) + b_y
         cut = ((pyu >= 0) & (pyu < f32(h)) & (pxv >= 0)
                & (pxv < f32(w))).astype(f32)
-        # residual weights [block, 2*D2+1] (per column of this block)
+        # residual weights [block, 2*D2+1] (per row of this block)
         rr = iota2((block, 2 * D2 + 1), 0) - rc
         dd = iota2((block, 2 * D2 + 1), 1) - D2
         delta = jnp.clip(m01 * rr, -float(D2), float(D2))
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(delta - dd))
         for ch in range(C):
-            cols = tmp_ref[0, ch].astype(f32)            # [h, block]
-            scratch[:, :] = jnp.zeros((h + 2 * D2, block), f32)
-            scratch[D2:D2 + h, :] = cols
-            acc = jnp.zeros((h, block), f32)
+            rows = tmpt_ref[0, ch].astype(f32)           # [block, h]
+            scratch[:, :] = jnp.zeros((block, h + 2 * D2), f32)
+            scratch[:, D2:D2 + h] = rows
+            acc = jnp.zeros((block, h), f32)
             for j in range(2 * D2 + 1):
-                acc = acc + scratch[j:j + h, :] * wgt[:, j][None, :]
+                acc = acc + scratch[:, j:j + h] * wgt[:, j][:, None]
             out_ref[0, ch] = jax.lax.dot_general(
-                k2, acc, (((1,), (0,)), ((), ())),
+                acc, k2t, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
-            ) * cut                                      # [out_h, block]
+            ) * cut                                      # [block, out_h]
 
     tmp = pl.pallas_call(
         pass1_kernel,
@@ -182,21 +187,25 @@ def warp_2level_pallas(img_cm, coefs, out_hw, theta_max_deg, block=G,
         interpret=interpret,
     )(coefs.astype(f32), img_cm)
 
-    out = pl.pallas_call(
+    # v blocks must be SUBLANE blocks (see pass2_kernel): hand pass 2
+    # the transposed tmp and transpose its output back.  Both
+    # transposes are XLA ops charged to the kernel's end-to-end time.
+    tmpt = jnp.swapaxes(tmp, 2, 3)                       # [B, C, out_w, h]
+    out_t = pl.pallas_call(
         pass2_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nG2),
             in_specs=[pl.BlockSpec(
-                (1, C, h, block), lambda b, g, c_ref: (b, 0, 0, g))],
+                (1, C, block, h), lambda b, g, c_ref: (b, 0, g, 0))],
             out_specs=pl.BlockSpec(
-                (1, C, out_h, block), lambda b, g, c_ref: (b, 0, 0, g)),
-            scratch_shapes=[pltpu.VMEM((h + 2 * D2, block), f32)],
+                (1, C, block, out_h), lambda b, g, c_ref: (b, 0, g, 0)),
+            scratch_shapes=[pltpu.VMEM((block, h + 2 * D2), f32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, out_h, out_w), f32),
+        out_shape=jax.ShapeDtypeStruct((B, C, out_w, out_h), f32),
         interpret=interpret,
-    )(coefs.astype(f32), tmp)
-    return out
+    )(coefs.astype(f32), tmpt)
+    return jnp.swapaxes(out_t, 2, 3)                     # [B, C, out_h, out_w]
 
 
 def main(argv=None) -> int:
