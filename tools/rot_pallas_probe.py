@@ -208,12 +208,141 @@ def warp_2level_pallas(img_cm, coefs, out_hw, theta_max_deg, block=G,
     return jnp.swapaxes(out_t, 2, 3)                     # [B, C, out_h, out_w]
 
 
+def warp_2level_pallas_fused(img_cm, coefs, out_hw, theta_max_deg,
+                             block=G, scale_x_max=None, interpret=False):
+    """ONE kernel per sample (grid (B,)): both 2level passes with tmp
+    held in VMEM scratch, so HBM traffic is img in + out out only
+    (~7 MB/sample at 640->480x4ch vs the two-kernel form's extra tmp
+    round-trip + transposes).  Slice discipline: pass 1 runs as a
+    fori_loop with DYNAMIC SUBLANE offsets (allowed); pass 2 is
+    python-unrolled so its 16-wide lane slices stay STATIC (dynamic
+    lane indexing is rejected by Mosaic on this tunnel).  Hats are
+    generated once per block and shared across channels."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    B, C, h, w = img_cm.shape
+    out_h, out_w = out_hw
+    assert h % block == 0 and out_w % block == 0, (h, out_w, block)
+    nG1 = h // block
+    nG2 = out_w // block
+    rc = (block - 1) / 2.0
+    if scale_x_max is None:
+        scale_x_max = (w + 2 * 24) / out_w
+    t_max = math.radians(abs(theta_max_deg))
+    D1 = max(1, int(math.ceil(math.tan(t_max) * (block - 1) / 2.0)))
+    D2 = max(1, int(math.ceil(
+        math.sin(t_max) * float(scale_x_max) * (block - 1) / 2.0)))
+
+    def iota2(shape, axis):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(f32)
+
+    def kernel(coef_ref, img_ref, out_ref, tmp_scr, pad1, pad2):
+        b = pl.program_id(0)
+        Ax, Bx, Cx = coef_ref[b, 0], coef_ref[b, 1], coef_ref[b, 2]
+        lox = coef_ref[b, 3]
+        hix = jnp.minimum(coef_ref[b, 4], f32(w))
+        m00, m01, ky0 = coef_ref[b, 5], coef_ref[b, 6], coef_ref[b, 7]
+        loy = coef_ref[b, 8]
+        hiy = jnp.minimum(coef_ref[b, 9], f32(h))
+        a_y, b_y = coef_ref[b, 10], coef_ref[b, 11]
+        a_x, b_x = coef_ref[b, 12], coef_ref[b, 13]
+
+        # pass-1 residual lerp weights [block, 2*D1+1] (shared by g1, ch)
+        rr1 = iota2((block, 2 * D1 + 1), 0) - rc
+        dd1 = iota2((block, 2 * D1 + 1), 1) - D1
+        delta1 = jnp.clip(Bx * rr1, -float(D1), float(D1))
+        wgt1 = jnp.maximum(0.0, 1.0 - jnp.abs(delta1 - dd1))
+        tap1 = iota2((w, out_w), 0)
+        vv1 = iota2((w, out_w), 1)
+
+        def pass1_body(g, _):
+            ycent = g.astype(f32) * block + rc
+            pos = Ax * vv1 + (Bx * ycent + Cx)
+            k1t = jnp.maximum(0.0, 1.0 - jnp.abs(pos - tap1))
+            k1t = k1t * ((tap1 >= lox) & (tap1 < hix)).astype(f32)
+            for ch in range(C):
+                rows = img_ref[0, ch, pl.ds(g * block, block), :]
+                rows = rows.astype(f32)                  # [block, w]
+                pad1[:, :] = jnp.zeros((block, w + 2 * D1), f32)
+                pad1[:, D1:D1 + w] = rows
+                acc = jnp.zeros((block, w), f32)
+                for j in range(2 * D1 + 1):
+                    acc = acc + pad1[:, j:j + w] * wgt1[:, j][:, None]
+                tmp_scr[pl.ds(ch * h + g * block, block), :] = (
+                    jax.lax.dot_general(
+                        acc, k1t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32))     # [block, out_w]
+            return _
+
+        jax.lax.fori_loop(0, nG1, pass1_body, 0)
+
+        # pass-2 residual weights [block, 2*D2+1] (shared by g2, ch)
+        rr2 = iota2((block, 2 * D2 + 1), 0) - rc
+        dd2 = iota2((block, 2 * D2 + 1), 1) - D2
+        delta2 = jnp.clip(m01 * rr2, -float(D2), float(D2))
+        wgt2 = jnp.maximum(0.0, 1.0 - jnp.abs(delta2 - dd2))
+        uu2 = iota2((out_h, h), 0)
+        tap2 = iota2((out_h, h), 1)
+
+        for g in range(nG2):                 # static: lane offsets below
+            vcent = g * block + rc
+            pos = m00 * uu2 + (m01 * vcent + ky0)
+            k2 = jnp.maximum(0.0, 1.0 - jnp.abs(pos - tap2))
+            k2 = k2 * ((tap2 >= loy) & (tap2 < hiy)).astype(f32)
+            pyu = a_y * iota2((out_h, block), 0) + b_y
+            vva = iota2((out_h, block), 1) + f32(g * block)
+            pxv = a_x * vva + b_x
+            cut = ((pyu >= 0) & (pyu < f32(h)) & (pxv >= 0)
+                   & (pxv < f32(w))).astype(f32)
+            for ch in range(C):
+                cols = tmp_scr[ch * h:ch * h + h,
+                               g * block:(g + 1) * block]  # [h, block]
+                pad2[:, :] = jnp.zeros((h + 2 * D2, block), f32)
+                pad2[D2:D2 + h, :] = cols
+                acc = jnp.zeros((h, block), f32)
+                for j in range(2 * D2 + 1):
+                    acc = acc + pad2[j:j + h, :] * wgt2[:, j][None, :]
+                out_ref[0, ch, :, g * block:(g + 1) * block] = (
+                    jax.lax.dot_general(
+                        k2, acc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32) * cut)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(
+                (1, C, h, w), lambda b, c_ref: (b, 0, 0, 0))],
+            out_specs=pl.BlockSpec(
+                (1, C, out_h, out_w), lambda b, c_ref: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((C * h, out_w), f32),          # tmp (all ch)
+                pltpu.VMEM((block, w + 2 * D1), f32),     # pass-1 pad
+                pltpu.VMEM((h + 2 * D2, block), f32),     # pass-2 pad
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, out_h, out_w), f32),
+        # img block + out block + tmp scratch + hats ~19 MB > the 16 MB
+        # default scoped-vmem window (v5e has 128 MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(coefs.astype(f32), img_cm)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--check", action="store_true", help="CPU interpret")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trials", type=int, default=2)
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--impls", nargs="+",
+                   default=["pallas", "pallas_fused", "xla_2level"])
     args = p.parse_args(argv)
 
     import jax
@@ -270,12 +399,14 @@ def main(argv=None) -> int:
             ])
             coefs = jnp.stack([_coeffs(pp)] * 2)
             img_cm = jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2))
-            got = np.asarray(warp_2level_pallas(
-                img_cm, coefs, (co, co), THETA_MAX_DEG, interpret=True))
-            got = np.transpose(got, (0, 2, 3, 1))
-            err = float(np.max(np.abs(got - ref)))
-            worst = max(worst, err)
-            print(f"deg={deg}: max|pallas - xla_2level| = {err:.5f}")
+            for label, impl in (("pallas", warp_2level_pallas),
+                                ("pallas_fused", warp_2level_pallas_fused)):
+                got = np.asarray(impl(
+                    img_cm, coefs, (co, co), THETA_MAX_DEG, interpret=True))
+                got = np.transpose(got, (0, 2, 3, 1))
+                err = float(np.max(np.abs(got - ref)))
+                worst = max(worst, err)
+                print(f"deg={deg}: max|{label} - xla_2level| = {err:.5f}")
         assert worst < 1e-2, worst
         print("CHECK-OK")
         return 0
@@ -295,6 +426,15 @@ def main(argv=None) -> int:
         out = warp_2level_pallas(img_cm, coefs, (OUT, OUT), THETA_MAX_DEG)
         return jnp.transpose(out, (0, 2, 3, 1))
 
+    def run_pallas_fused(imgs_nhwc):
+        pp = jax.vmap(rot_params)(thetas)
+        coefs = jax.vmap(lambda i: _coeffs(jax.tree_util.tree_map(
+            lambda x: x[i], pp)))(jnp.arange(b))
+        img_cm = jnp.transpose(imgs_nhwc.astype(jnp.bfloat16), (0, 3, 1, 2))
+        out = warp_2level_pallas_fused(img_cm, coefs, (OUT, OUT),
+                                       THETA_MAX_DEG)
+        return jnp.transpose(out, (0, 2, 3, 1))
+
     def run_xla(imgs_nhwc):
         def one(im, th):
             return warp_image_rotated_2level(
@@ -305,8 +445,11 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp2
 
+    impl_fns = {"pallas": run_pallas, "pallas_fused": run_pallas_fused,
+                "xla_2level": run_xla}
     rows = []
-    for name, fn in (("pallas", run_pallas), ("xla_2level", run_xla)):
+    for name in args.impls:
+        fn = impl_fns[name]
         @jax.jit
         def loop(x0, fn=fn):
             def body(i, carry):
@@ -333,8 +476,15 @@ def main(argv=None) -> int:
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ROT_PALLAS_PROBE.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            for r in json.load(f).get("rows", []):
+                merged[r["impl"]] = r
+    for r in rows:
+        merged[r["impl"]] = r
     with open(out, "w") as f:
-        json.dump({"block": G, "rows": rows}, f, indent=1)
+        json.dump({"block": G, "rows": list(merged.values())}, f, indent=1)
     print(f"wrote {out}")
     return 0
 
