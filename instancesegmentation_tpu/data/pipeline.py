@@ -81,16 +81,23 @@ class AugmentConfig:
                                    # banded one-hot tensors are ~786 MB
                                    # f32 per sample at 640→480 and MUST
                                    # be staged — ROOFLINE.md §7).
-    rotate_impl: str = "2pass"     # rotated sampler: "2pass" = banded
-                                   # one-hot matmul two-pass affine
-                                   # (ops/warp.warp_image_rotated_2pass,
-                                   # measured 6× the gather on chip,
-                                   # ROT_GATHER_VARIANTS.json);
-                                   # "2level" = blocked two-level form
+    rotate_impl: str = "2level"    # rotated sampler: "2level" =
+                                   # blocked two-level form
                                    # (warp_image_rotated_2level: hats
                                    # generated per rotate_block rows +
                                    # banded residual shift — block×
-                                   # fewer hat elements);
+                                   # fewer hat elements; DEFAULT per
+                                   # chip measurement: 156 vs 469
+                                   # µs/img preprocess, rotated train
+                                   # 1,842 vs 1,153 img/s at batch
+                                   # 128, quality parity at 5 seeds —
+                                   # ROOFLINE.md §Round-5,
+                                   # examples/rot_quality_sweep192.json);
+                                   # "2pass" = unblocked banded
+                                   # one-hot matmul two-pass affine
+                                   # (warp_image_rotated_2pass — the
+                                   # exact per-tap form, 6× the gather,
+                                   # ROT_GATHER_VARIANTS.json);
                                    # "gather" = per-pixel 4-tap gather
                                    # (ops/warp.warp_image_rotated,
                                    # bit-matches the one-pass bilinear

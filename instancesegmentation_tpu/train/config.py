@@ -62,11 +62,13 @@ class TrainConfig:
                                    # for gather; 4 for 2pass, whose
                                    # banded one-hot tensors must be
                                    # staged — ROOFLINE.md §6/§7)
-    rotate_impl: str = "2pass"     # "2pass" banded-matmul affine
-                                   # (measured 6× the gather on chip) |
-                                   # "2level" blocked hats + banded
-                                   # residual shift (block× fewer hat
-                                   # elements; ops/warp.py) |
+    rotate_impl: str = "2level"    # "2level" blocked hats + banded
+                                   # residual shift (DEFAULT: rotated
+                                   # train 1,842 vs 1,153 img/s at
+                                   # batch 128, quality parity at 5
+                                   # seeds — ROOFLINE.md §Round-5) |
+                                   # "2pass" unblocked banded-matmul
+                                   # affine (6× the gather on chip) |
                                    # "gather" 4-tap per-pixel (bit-
                                    # matches the one-pass oracle)
     rotate_block: int = 16         # "2level" hat block size

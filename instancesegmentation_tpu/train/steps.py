@@ -28,7 +28,7 @@ def augment_config(cfg, train: bool) -> AugmentConfig:
         rotate=cfg.rotate if train else 0.0,
         rotate_prob=cfg.rotate_prob,
         rotate_chunk=getattr(cfg, "rotate_chunk", 0),
-        rotate_impl=getattr(cfg, "rotate_impl", "2pass"),
+        rotate_impl=getattr(cfg, "rotate_impl", "2level"),
         rotate_block=getattr(cfg, "rotate_block", 16),
         brightness=cfg.brightness if train else 0.0,
         contrast=cfg.contrast if train else 0.0,

@@ -355,8 +355,10 @@ def test_2pass_zero_angle_exact_and_small_angle_close():
 
 
 def test_pipeline_rotate_impls_agree():
-    """preprocess_batch with rotate_impl='2pass' (default) vs 'gather'
-    produces closely matching images/masks on the synthetic batch."""
+    """preprocess_batch with rotate_impl='2pass' vs 'gather' produces
+    closely matching images/masks on the synthetic batch.  (2level, the
+    default, has its own agreement test below with the looser bound its
+    blocked residual shift warrants.)"""
     from instancesegmentation_tpu.data.pipeline import (
         AugmentConfig,
         preprocess_batch,
@@ -364,7 +366,8 @@ def test_pipeline_rotate_impls_agree():
 
     batch = _tiny_batch(b=4)
     rng = jax.random.PRNGKey(11)
-    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0)
+    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0,
+                        rotate_impl="2pass")
     gat = dataclasses.replace(two, rotate_impl="gather")
     im_a, hm_a, mk_a = preprocess_batch(batch, rng, two)
     im_b, hm_b, mk_b = preprocess_batch(batch, rng, gat)
@@ -624,7 +627,8 @@ def test_pipeline_rotate_impl_2level_agrees():
         )
     batch["mask"] = jnp.asarray(masks)
     rng = jax.random.PRNGKey(11)
-    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0)
+    two = AugmentConfig(out_size=(64, 64), rotate=25.0, rotate_prob=1.0,
+                        rotate_impl="2pass")
     lvl = dataclasses.replace(two, rotate_impl="2level")
     im_a, hm_a, mk_a = preprocess_batch(batch, rng, two)
     im_b, hm_b, mk_b = preprocess_batch(batch, rng, lvl)
