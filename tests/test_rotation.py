@@ -649,3 +649,16 @@ def test_pipeline_rotate_impl_2level_agrees():
     )(batch, rng)
     np.testing.assert_array_equal(np.asarray(im_c), np.asarray(im_j))
     np.testing.assert_array_equal(np.asarray(mk_c), np.asarray(mk_j))
+
+
+def test_default_rotate_impl_is_2level():
+    """The default rotated sampler is a MEASURED decision (ROOFLINE.md
+    §Round-5: 2level is fastest at both operating points, quality at
+    parity over 5 seeds, and survives long single-dispatch loops) —
+    pin it in pipeline AND train config so a drive-by edit can't
+    silently regress rotated training to a slower sampler."""
+    from instancesegmentation_tpu.data.pipeline import AugmentConfig
+    from instancesegmentation_tpu.train.config import TrainConfig
+
+    assert AugmentConfig(out_size=(64, 64)).rotate_impl == "2level"
+    assert TrainConfig().rotate_impl == "2level"
